@@ -1,0 +1,81 @@
+"""Separable spatio-temporal self-attention (SURVEY.md §2.5).
+
+Two cheap passes instead of one THW×THW attention (the DVD-GAN long-sequence
+answer, SURVEY.md §5.7):
+
+  * spatial: SAGAN/BigGAN-style attention over the H×W grid, per frame
+    (time folded into batch). Keys/values are 2×2-max-pooled (BigGAN's
+    memory trick) — attention is HW × HW/4.
+  * temporal: attention over the T axis, per spatial location (space folded
+    into batch) — T × T, tiny.
+
+Each pass: q = θ(x): C→C/8, k = φ(x): C→C/8, v = g(x): C→C/2, out ∈ C/2→C,
+residual-added through its own learnable scale γ initialized at 0 (the block
+starts as identity). All projections are 1×1 — expressed as matmuls over the
+channel axis (MXU-shaped), kernels named 'w' → spectrally normalized.
+Softmax (no 1/√d scaling, per SAGAN) runs in float32.
+
+The dense einsum formulation below IS the TPU-fast baseline: batched matmuls
+XLA maps straight onto the MXU. A fused Pallas kernel (kernels/) is layered
+on top only where profiling says it wins.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dvdgan_tpu.ops import layers
+
+
+def _proj_init(key, c: int) -> dict:
+    kt, kp, kg, ko = jax.random.split(key, 4)
+    return {
+        "theta": layers.linear_init(kt, c, c // 8, use_bias=False),
+        "phi": layers.linear_init(kp, c, c // 8, use_bias=False),
+        "g": layers.linear_init(kg, c, c // 2, use_bias=False),
+        "out": layers.linear_init(ko, c // 2, c, use_bias=False),
+        "gamma": jnp.zeros((), jnp.float32),
+    }
+
+
+def separable_attn_init(key, c: int) -> dict:
+    ks, kt = jax.random.split(key)
+    return {"spatial": _proj_init(ks, c), "temporal": _proj_init(kt, c)}
+
+
+def _attend(p: dict, x_tokens: jax.Array, kv_tokens: jax.Array) -> jax.Array:
+    """Generic single-head attention. x_tokens: (N, L, C) queries' source;
+    kv_tokens: (N, L', C) keys/values' source. Returns the γ-scaled delta."""
+    q = layers.linear(p["theta"], x_tokens)                  # (N, L, C/8)
+    k = layers.linear(p["phi"], kv_tokens)                   # (N, L', C/8)
+    v = layers.linear(p["g"], kv_tokens)                     # (N, L', C/2)
+    logits = jnp.einsum("nlc,nmc->nlm", q, k).astype(jnp.float32)
+    attn = jax.nn.softmax(logits, axis=-1).astype(x_tokens.dtype)
+    o = jnp.einsum("nlm,nmc->nlc", attn, v)
+    o = layers.linear(p["out"], o)
+    return p["gamma"].astype(jnp.float32) * o.astype(jnp.float32)
+
+
+def _maxpool2x_tokens(x: jax.Array, h: int, w: int) -> jax.Array:
+    """(N, H*W, C) -> (N, H*W/4, C) 2×2 max pool on the underlying grid."""
+    n, _, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return x.max(axis=(2, 4)).reshape(n, (h // 2) * (w // 2), c)
+
+
+def separable_attn(p: dict, x: jax.Array) -> jax.Array:
+    """x: (B, T, H, W, C) -> same shape; spatial pass then temporal pass."""
+    b, t, h, w, c = x.shape
+
+    # --- spatial: tokens over HW, batch = B*T --------------------------------
+    xs = x.reshape(b * t, h * w, c)
+    kv = _maxpool2x_tokens(xs, h, w) if (h % 2 == 0 and w % 2 == 0) else xs
+    xs = xs.astype(jnp.float32) + _attend(p["spatial"], xs, kv)
+    x = xs.astype(x.dtype).reshape(b, t, h, w, c)
+
+    # --- temporal: tokens over T, batch = B*H*W ------------------------------
+    xt = jnp.moveaxis(x, 1, 3).reshape(b * h * w, t, c)
+    xt = xt.astype(jnp.float32) + _attend(p["temporal"], xt, xt)
+    x = jnp.moveaxis(xt.astype(x.dtype).reshape(b, h, w, t, c), 3, 1)
+    return x

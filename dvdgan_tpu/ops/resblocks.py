@@ -1,0 +1,145 @@
+"""Residual blocks: generator (GResBlock) and discriminator (DBlock 2D/3D).
+
+GResBlock (SURVEY.md §2.4, BigGAN-style, applied per-frame with time folded
+into batch):
+
+    main: CBN → ReLU → [upsample 2×] → SNConv3×3 → CBN → ReLU → SNConv3×3
+    skip: [upsample 2×] → SNConv1×1 (identity when shape-preserving)
+
+DBlock (SURVEY.md §2.7/2.8, pre-activation ResNet-D):
+
+    main: ReLU → SNConv3×3 → ReLU → SNConv3×3 → [avgpool 2×]
+    skip: SNConv1×1 → [avgpool]          (conv only when channels change)
+    first (from-RGB) variant: no leading ReLU; skip = avgpool → SNConv1×1.
+
+DBlock3D is the same topology with 3×3×3 convs and spatial-only pooling —
+DT's first two blocks (the time axis keeps full length; the paper downsamples
+space via φ before DT and lets the 3D receptive field grow over time).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from dvdgan_tpu.ops import layers, norm, resize
+
+
+# ------------------------------------------------------------- GResBlock ----
+
+def gresblock_init(key, cin: int, cout: int, cond_dim: int) -> dict:
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    p = {
+        "cbn1": norm.cbn_init(k1, cond_dim, cin),
+        "conv1": layers.conv2d_init(k2, 3, cin, cout),
+        "cbn2": norm.cbn_init(k3, cond_dim, cout),
+        "conv2": layers.conv2d_init(k4, 3, cout, cout),
+    }
+    if cin != cout:
+        p["skip"] = layers.conv2d_init(k5, 1, cin, cout)
+    return p
+
+
+def gresblock_stats_init(cin: int, cout: int) -> dict:
+    return {"bn1": norm.stats_init(cin), "bn2": norm.stats_init(cout)}
+
+
+def gresblock(p: dict, stats: dict, x: jax.Array, cond: jax.Array,
+              train: bool, upsample: bool,
+              axis_name: Optional[str] = None):
+    """x: (N, H, W, Cin), cond: (N, cond_dim) -> ((N, H', W', Cout), stats)."""
+    h, s1 = norm.cbn(p["cbn1"], stats["bn1"], x, cond, train, axis_name)
+    h = jax.nn.relu(h)
+    if upsample:
+        h = resize.upsample_nearest_2x(h)
+    h = layers.conv2d(p["conv1"], h)
+    h, s2 = norm.cbn(p["cbn2"], stats["bn2"], h, cond, train, axis_name)
+    h = jax.nn.relu(h)
+    h = layers.conv2d(p["conv2"], h)
+
+    sc = x
+    if upsample:
+        sc = resize.upsample_nearest_2x(sc)
+    if "skip" in p:
+        sc = layers.conv2d(p["skip"], sc)
+    return h + sc, {"bn1": s1, "bn2": s2}
+
+
+# ------------------------------------------------------------ DBlock (2D) ---
+
+def dblock_init(key, cin: int, cout: int, first: bool = False) -> dict:
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {
+        "conv1": layers.conv2d_init(k1, 3, cin, cout),
+        "conv2": layers.conv2d_init(k2, 3, cout, cout),
+    }
+    if first or cin != cout:
+        p["skip"] = layers.conv2d_init(k3, 1, cin, cout)
+    return p
+
+
+def dblock(p: dict, x: jax.Array, down: bool, first: bool = False
+           ) -> jax.Array:
+    """x: (N, H, W, Cin) -> (N, H', W', Cout)."""
+    h = x if first else jax.nn.relu(x)
+    h = layers.conv2d(p["conv1"], h)
+    h = jax.nn.relu(h)
+    h = layers.conv2d(p["conv2"], h)
+    if down:
+        h = resize.avg_pool_2x(h)
+
+    sc = x
+    if first:
+        if down:
+            sc = resize.avg_pool_2x(sc)
+        if "skip" in p:
+            sc = layers.conv2d(p["skip"], sc)
+    else:
+        if "skip" in p:
+            sc = layers.conv2d(p["skip"], sc)
+        if down:
+            sc = resize.avg_pool_2x(sc)
+    return h + sc
+
+
+# ------------------------------------------------------------ DBlock (3D) ---
+
+def dblock3d_init(key, cin: int, cout: int, first: bool = False) -> dict:
+    k1, k2, k3 = jax.random.split(key, 3)
+    p = {
+        "conv1": layers.conv3d_init(k1, (3, 3, 3), cin, cout),
+        "conv2": layers.conv3d_init(k2, (3, 3, 3), cout, cout),
+    }
+    if first or cin != cout:
+        p["skip"] = layers.conv3d_init(k3, (1, 1, 1), cin, cout)
+    return p
+
+
+def _avg_pool_2x_spatial_video(x: jax.Array) -> jax.Array:
+    return resize.avg_pool_2x_video(x)
+
+
+def dblock3d(p: dict, x: jax.Array, down: bool, first: bool = False
+             ) -> jax.Array:
+    """x: (N, T, H, W, Cin) -> (N, T, H', W', Cout); pooling is spatial-only."""
+    h = x if first else jax.nn.relu(x)
+    h = layers.conv3d(p["conv1"], h)
+    h = jax.nn.relu(h)
+    h = layers.conv3d(p["conv2"], h)
+    if down:
+        h = _avg_pool_2x_spatial_video(h)
+
+    sc = x
+    if first:
+        if down:
+            sc = _avg_pool_2x_spatial_video(sc)
+        if "skip" in p:
+            sc = layers.conv3d(p["skip"], sc)
+    else:
+        if "skip" in p:
+            sc = layers.conv3d(p["skip"], sc)
+        if down:
+            sc = _avg_pool_2x_spatial_video(sc)
+    return h + sc

@@ -1,0 +1,250 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvdgan_tpu.core import init as winit
+from dvdgan_tpu.ops import (attention, convgru, layers, losses, norm,
+                            resblocks, resize)
+
+
+def key(i=0):
+    return jax.random.PRNGKey(i)
+
+
+# ------------------------------------------------------------------ init ----
+
+def test_orthogonal_init_is_orthogonal():
+    w = winit.orthogonal(key(0), (64, 32))
+    gram = w.T @ w
+    assert np.allclose(np.asarray(gram), np.eye(32), atol=1e-5)
+
+
+def test_orthogonal_conv_kernel():
+    w = winit.orthogonal(key(1), (3, 3, 4, 16))
+    m = w.reshape(-1, 16)
+    assert np.allclose(np.asarray(m.T @ m), np.eye(16), atol=1e-5)
+
+
+# ---------------------------------------------------------------- layers ----
+
+def test_linear_shapes_and_dtype():
+    p = layers.linear_init(key(0), 7, 11)
+    x = jnp.ones((3, 7), jnp.bfloat16)
+    y = layers.linear(p, x)
+    assert y.shape == (3, 11) and y.dtype == jnp.bfloat16
+
+
+def test_conv2d_matches_numpy_direct():
+    p = layers.conv2d_init(key(1), 3, 2, 5)
+    x = jax.random.normal(key(2), (2, 8, 8, 2))
+    y = layers.conv2d(p, x)
+    assert y.shape == (2, 8, 8, 5)
+    # spot-check one output against an explicit dot over the padded window:
+    # for output (i, j), the 3x3 window in padded coords is xp[i:i+3, j:j+3]
+    xp = np.pad(np.asarray(x), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    w = np.asarray(p["w"])
+    got = float(y[0, 3, 4, 0])
+    ref0 = float(np.sum(xp[0, 3:6, 4:7, :, None] * w[:, :, :, 0:1]) + p["b"][0])
+    assert abs(got - ref0) < 1e-4, (got, ref0)
+
+
+def test_conv3d_shape():
+    p = layers.conv3d_init(key(3), (3, 3, 3), 3, 6)
+    x = jnp.ones((2, 4, 8, 8, 3))
+    y = layers.conv3d(p, x, stride=(1, 2, 2))
+    assert y.shape == (2, 4, 4, 4, 6)
+
+
+def test_embedding_lookup():
+    p = layers.embedding_init(key(4), 10, 6)
+    y = layers.embedding(p, jnp.array([0, 3, 9]))
+    assert y.shape == (3, 6)
+    assert np.allclose(np.asarray(y[1]), np.asarray(p["emb"][3]))
+
+
+# ---------------------------------------------------------------- resize ----
+
+def test_upsample_nearest():
+    x = jnp.arange(4.0).reshape(1, 2, 2, 1)
+    y = resize.upsample_nearest_2x(x)
+    assert y.shape == (1, 4, 4, 1)
+    assert float(y[0, 0, 0, 0]) == float(y[0, 1, 1, 0]) == 0.0
+    assert float(y[0, 2, 1, 0]) == 2.0  # block (1,0) duplicates orig [1,0]=2
+    assert float(y[0, 3, 3, 0]) == 3.0  # block (1,1) duplicates orig [1,1]=3
+
+
+def test_avg_pool_roundtrip():
+    x = jax.random.normal(key(5), (2, 4, 4, 3))
+    y = resize.avg_pool_2x(x)
+    assert y.shape == (2, 2, 2, 3)
+    assert abs(float(y.mean() - x.mean())) < 1e-6
+
+
+# ------------------------------------------------------------------ norm ----
+
+def test_bn_normalizes_batch():
+    p = norm.bn_init(None, 4)
+    stats = norm.stats_init(4)
+    x = 3.0 + 2.0 * jax.random.normal(key(6), (16, 5, 5, 4))
+    y, new_stats = norm.bn(p, stats, x, train=True)
+    assert abs(float(y.mean())) < 1e-4 and abs(float(y.std()) - 1.0) < 1e-2
+    assert not np.allclose(np.asarray(new_stats["mean"]), 0.0)
+
+
+def test_bn_eval_uses_running_stats():
+    p = norm.bn_init(None, 2)
+    stats = {"mean": jnp.array([1.0, -1.0]), "var": jnp.array([4.0, 0.25])}
+    x = jnp.ones((2, 1, 1, 2))
+    y, out_stats = norm.bn(p, stats, x, train=False)
+    expect = (1.0 - np.array([1.0, -1.0])) / np.sqrt(np.array([4.0, 0.25]) + 1e-5)
+    assert np.allclose(np.asarray(y[0, 0, 0]), expect, atol=1e-5)
+    assert out_stats is stats
+
+
+def test_cbn_per_sample_affine():
+    p = norm.cbn_init(key(7), 3, 4)
+    stats = norm.stats_init(4)
+    x = jax.random.normal(key(8), (6, 2, 2, 4))
+    cond = jax.random.normal(key(9), (6, 3))
+    y, _ = norm.cbn(p, stats, x, cond, train=True)
+    assert y.shape == x.shape
+    # different cond rows -> different outputs for identical inputs
+    x2 = jnp.broadcast_to(x[:1], x.shape)
+    y2, _ = norm.cbn(p, stats, x2, cond, train=True)
+    assert not np.allclose(np.asarray(y2[0]), np.asarray(y2[1]))
+
+
+def test_cross_replica_bn_matches_global_batch():
+    """pmean'd per-shard moments == single-device full-batch moments."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    p = norm.bn_init(None, 4)
+    stats = norm.stats_init(4)
+    x = jax.random.normal(key(10), (16, 3, 3, 4)) * 2.0 + 1.0
+
+    y_ref, st_ref = norm.bn(p, stats, x, train=True)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+
+    def shard_fn(x):
+        y, st = norm.bn(p, stats, x, train=True, axis_name="data")
+        return y, st["mean"], st["var"]
+
+    y_sh, mean_sh, var_sh = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("data"),),
+        out_specs=(P("data"), P(), P()))(x)
+    assert np.allclose(np.asarray(y_sh), np.asarray(y_ref), atol=1e-5)
+    assert np.allclose(np.asarray(mean_sh), np.asarray(st_ref["mean"]), atol=1e-6)
+    assert np.allclose(np.asarray(var_sh), np.asarray(st_ref["var"]), atol=1e-5)
+
+
+# --------------------------------------------------------------- convgru ----
+
+def test_convgru_matches_python_loop():
+    c = 4
+    p = convgru.convgru_init(key(11), c)
+    x = jax.random.normal(key(12), (2, 5, 6, 6, c))
+    y = convgru.convgru(p, x)
+    assert y.shape == x.shape
+    # hand-rolled reference loop
+    h = jnp.zeros((2, 6, 6, c))
+    outs = []
+    for t in range(5):
+        h = convgru.convgru_cell(p, x[:, t], h)
+        outs.append(h)
+    ref = jnp.stack(outs, axis=1)
+    assert np.allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
+
+
+def test_convgru_state_propagates():
+    c = 2
+    p = convgru.convgru_init(key(13), c)
+    x = jax.random.normal(key(14), (1, 4, 4, 4, c))
+    y = convgru.convgru(p, x)
+    x_perm = x[:, ::-1]
+    y_perm = convgru.convgru(p, x_perm)
+    # temporal order matters (recurrence, not per-frame map)
+    assert not np.allclose(np.asarray(y[:, -1]), np.asarray(y_perm[:, 0]))
+
+
+# ------------------------------------------------------------- attention ----
+
+def test_attention_identity_at_init():
+    c = 16
+    p = attention.separable_attn_init(key(15), c)
+    x = jax.random.normal(key(16), (2, 3, 4, 4, c))
+    y = attention.separable_attn(p, x)
+    assert np.allclose(np.asarray(y), np.asarray(x), atol=1e-6)  # gamma=0
+
+
+def test_attention_nontrivial_when_gamma_set():
+    c = 16
+    p = attention.separable_attn_init(key(17), c)
+    p["spatial"]["gamma"] = jnp.float32(1.0)
+    p["temporal"]["gamma"] = jnp.float32(1.0)
+    x = jax.random.normal(key(18), (1, 2, 4, 4, c))
+    y = attention.separable_attn(p, x)
+    assert y.shape == x.shape
+    assert not np.allclose(np.asarray(y), np.asarray(x))
+
+
+def test_spatial_attention_matches_dense_einsum():
+    """The folded/pooled implementation == explicit dense attention (no pool
+    case: use odd H/W so pooling is skipped)."""
+    c = 8
+    p = attention.separable_attn_init(key(19), c)
+    p["spatial"]["gamma"] = jnp.float32(0.7)
+    x = jax.random.normal(key(20), (1, 1, 3, 3, c))
+    y = attention.separable_attn(p, x)
+
+    tok = x.reshape(1, 9, c)
+    q = tok @ p["spatial"]["theta"]["w"]
+    k = tok @ p["spatial"]["phi"]["w"]
+    v = tok @ p["spatial"]["g"]["w"]
+    a = jax.nn.softmax(q @ k.transpose(0, 2, 1), axis=-1)
+    o = (a @ v) @ p["spatial"]["out"]["w"]
+    ref = tok + 0.7 * o  # temporal pass with T=1: softmax over 1 token, but
+    # gamma_t = 0 so it is identity.
+    assert np.allclose(np.asarray(y.reshape(1, 9, c)), np.asarray(ref), atol=1e-5)
+
+
+# ---------------------------------------------------------------- blocks ----
+
+def test_gresblock_upsample_shapes():
+    p = resblocks.gresblock_init(key(21), 8, 4, cond_dim=5)
+    st = resblocks.gresblock_stats_init(8, 4)
+    x = jax.random.normal(key(22), (6, 4, 4, 8))
+    cond = jax.random.normal(key(23), (6, 5))
+    y, st2 = resblocks.gresblock(p, st, x, cond, train=True, upsample=True)
+    assert y.shape == (6, 8, 8, 4)
+    assert not np.allclose(np.asarray(st2["bn1"]["mean"]),
+                           np.asarray(st["bn1"]["mean"]))
+
+
+def test_dblock_shapes():
+    p = resblocks.dblock_init(key(24), 3, 8, first=True)
+    x = jax.random.normal(key(25), (2, 16, 16, 3))
+    y = resblocks.dblock(p, x, down=True, first=True)
+    assert y.shape == (2, 8, 8, 8)
+    p2 = resblocks.dblock_init(key(26), 8, 8)
+    y2 = resblocks.dblock(p2, y, down=False)
+    assert y2.shape == (2, 8, 8, 8)
+
+
+def test_dblock3d_shapes():
+    p = resblocks.dblock3d_init(key(27), 3, 4, first=True)
+    x = jax.random.normal(key(28), (2, 6, 16, 16, 3))
+    y = resblocks.dblock3d(p, x, down=True, first=True)
+    assert y.shape == (2, 6, 8, 8, 4)
+
+
+# ---------------------------------------------------------------- losses ----
+
+def test_hinge_losses():
+    real = jnp.array([2.0, 0.5])
+    fake = jnp.array([-2.0, 0.5])
+    d = losses.d_hinge(real, fake)
+    assert abs(float(d) - (0.25 + 0.75)) < 1e-6
+    g = losses.g_hinge(fake)
+    assert abs(float(g) - 0.75) < 1e-6
