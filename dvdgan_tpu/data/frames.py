@@ -1,0 +1,100 @@
+"""On-disk video dataset: UCF-101-style extracted-frame directories.
+
+Behavioral spec (SURVEY.md §2.12, [R dataset.py]): walk
+`root/<class_name>/<video_name>/` directories of frame images (or `.npy`
+clip files), uniformly sample a T-frame window, center-crop to square,
+resize to `img_size`, scale to [-1, 1]; yield (clip (T,H,W,3) float32,
+int label). Class names map to labels in sorted order (the torchvision
+ImageFolder convention the reference relies on).
+
+Decode is PIL-based (available without network); `.npy` clips — shape
+(T0, H, W, 3) uint8 or float — are supported for fixtures so tests never
+need image codecs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Tuple
+
+import numpy as np
+
+_IMG_EXT = (".jpg", ".jpeg", ".png", ".bmp")
+
+
+def _list_videos(root: str) -> Tuple[List[Tuple[str, int]], List[str]]:
+    classes = sorted(d for d in os.listdir(root)
+                     if os.path.isdir(os.path.join(root, d)))
+    items: List[Tuple[str, int]] = []
+    for li, cname in enumerate(classes):
+        cdir = os.path.join(root, cname)
+        for v in sorted(os.listdir(cdir)):
+            path = os.path.join(cdir, v)
+            if os.path.isdir(path) or v.endswith(".npy"):
+                items.append((path, li))
+    return items, classes
+
+
+def _load_frames(path: str) -> np.ndarray:
+    """-> (T0, H, W, 3) float32 in [0, 1]."""
+    if path.endswith(".npy"):
+        arr = np.load(path)
+        if arr.dtype == np.uint8:
+            arr = arr.astype(np.float32) / 255.0
+        return arr.astype(np.float32)
+    from PIL import Image
+    frames = sorted(f for f in os.listdir(path)
+                    if f.lower().endswith(_IMG_EXT))
+    if not frames:
+        raise ValueError(f"no frames in {path}")
+    out = []
+    for f in frames:
+        with Image.open(os.path.join(path, f)) as im:
+            out.append(np.asarray(im.convert("RGB"), np.float32) / 255.0)
+    return np.stack(out)
+
+
+def _center_crop_resize(clip: np.ndarray, size: int) -> np.ndarray:
+    t, h, w, c = clip.shape
+    s = min(h, w)
+    y0, x0 = (h - s) // 2, (w - s) // 2
+    clip = clip[:, y0:y0 + s, x0:x0 + s]
+    if s != size:
+        # nearest-neighbor resize via index maps — no scipy/cv2 dependency
+        idx = (np.arange(size) * (s / size)).astype(np.int64)
+        clip = clip[:, idx][:, :, idx]
+    return clip
+
+
+class FrameFolderDataset:
+    """Map-style dataset over extracted-frame dirs / .npy clips."""
+
+    def __init__(self, root: str, n_frames: int, img_size: int,
+                 seed: int = 0):
+        self.items, self.classes = _list_videos(root)
+        if not self.items:
+            raise ValueError(f"no videos under {root}")
+        self.n_frames = n_frames
+        self.img_size = img_size
+        self.rng = np.random.RandomState(seed)
+
+    @property
+    def n_classes(self) -> int:
+        return len(self.classes)
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def __getitem__(self, idx: int):
+        path, label = self.items[idx]
+        frames = _load_frames(path)
+        t0 = frames.shape[0]
+        t = self.n_frames
+        if t0 < t:  # loop-pad short clips (reference behavior for short videos)
+            reps = -(-t // t0)
+            frames = np.concatenate([frames] * reps)[:t]
+        else:
+            start = self.rng.randint(0, t0 - t + 1)
+            frames = frames[start:start + t]
+        clip = _center_crop_resize(frames, self.img_size)
+        return (2.0 * clip - 1.0).astype(np.float32), label

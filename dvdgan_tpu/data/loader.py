@@ -1,0 +1,81 @@
+"""Batching + background-prefetch loader.
+
+Replaces the reference's torch DataLoader worker processes (SURVEY.md §3.1
+"worker processes spawn HERE") with a thread-pool prefetcher: on TPU VMs the
+host cores are plentiful and decode is numpy/PIL — threads keep the data path
+zero-copy into `jax.device_put`, and a bounded queue of ready batches hides
+host latency behind device compute (the standard JAX input-pipeline shape).
+
+Yields (clip (B,T,H,W,C) float32, label (B,) int32) numpy batches; the
+caller (Trainer) device_puts with the right sharding.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class Loader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = True,
+                 prefetch: int = 2, num_threads: int = 2):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.num_threads = max(1, num_threads)
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        n = len(self.ds)
+        idx = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(idx)
+        if self.drop_last:
+            idx = idx[: (n // self.batch_size) * self.batch_size]
+        return idx
+
+    def _make_batch(self, indices) -> Tuple[np.ndarray, np.ndarray]:
+        clips, labels = zip(*(self.ds[int(i)] for i in indices))
+        return np.stack(clips), np.asarray(labels, np.int32)
+
+    def epoch(self, epoch: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """One pass over the data with background prefetch."""
+        idx = self._epoch_indices(epoch)
+        batches = [idx[i:i + self.batch_size]
+                   for i in range(0, len(idx), self.batch_size)]
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    q.put(self._make_batch(b))
+            finally:
+                q.put(None)
+
+        th = threading.Thread(target=worker, daemon=True)
+        th.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+
+    def forever(self, start_epoch: int = 0
+                ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Endless stream (the reference's `while True: next(loader)`)."""
+        e = start_epoch
+        while True:
+            yield from self.epoch(e)
+            e += 1

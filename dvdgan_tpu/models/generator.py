@@ -1,0 +1,131 @@
+"""Generator G (SURVEY.md §2.6, [R model/Generator.py] behaviorally).
+
+Pipeline (per SURVEY §3.2): z ∼ N(0,1) split into per-level chunks
+(hierarchical latent); shared class embedding concatenated into each chunk
+for CBN conditioning; SNLinear seeds a 4×4×(ch·m₀) map; then per level —
+ConvGRU over the T frames at the current resolution (lax.scan), per-frame
+GResBlock upsampling 2× (time folded into batch for the conv stack) — with
+separable spatio-temporal self-attention at `attn_res`; final BN → ReLU →
+SNConv3×3 → tanh.
+
+TPU-first layout decisions:
+  * activations are (B, T, H, W, C) channels-last; all per-frame compute
+    reshapes to ((B·T), H, W, C) so convolutions see one big batch (MXU
+    likes large batched convs, SURVEY §7 design stance);
+  * the only sequential axis is the ConvGRU scan; everything else is
+    batch-parallel;
+  * params/stats are separate pytrees; spectral norm is applied by the
+    caller via ops.spectral_norm.sn_normalize BEFORE apply (hoisted tree
+    pass) — apply never mutates.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from dvdgan_tpu.models.config import GConfig
+from dvdgan_tpu.ops import attention, convgru, layers, norm, resblocks
+
+
+def init(key: jax.Array, cfg: GConfig) -> tuple[dict, dict]:
+    """Returns (params, stats). Orthogonal init everywhere (SURVEY §2.18)."""
+    n = cfg.n_levels
+    keys = jax.random.split(key, 2 * n + 4)
+    c0 = cfg.ch * cfg.mults[0]
+
+    levels = []
+    stats_levels = []
+    for i in range(n):
+        cin, cout = cfg.level_channels(i)
+        kg, kb = keys[2 * i], keys[2 * i + 1]
+        levels.append({
+            "gru": convgru.convgru_init(kg, cin),
+            "block": resblocks.gresblock_init(kb, cin, cout, cfg.cond_dim),
+        })
+        stats_levels.append(resblocks.gresblock_stats_init(cin, cout))
+
+    c_last = cfg.ch * cfg.mults[-1]
+    params = {
+        "embed": layers.embedding_init(keys[2 * n], cfg.n_classes, cfg.emb_dim),
+        "seed": layers.linear_init(
+            keys[2 * n + 1], cfg.chunk_dim,
+            cfg.base_res * cfg.base_res * c0),
+        "levels": levels,
+        "out_bn": norm.bn_init(keys[2 * n + 2], c_last),
+        "out_conv": layers.conv2d_init(keys[2 * n + 3], 3, c_last, 3),
+    }
+    if cfg.attn_res is not None and cfg.attn_res <= cfg.img_size:
+        # attention applies to the output of the level that reaches attn_res
+        c_attn = cfg.ch * cfg.mults[_attn_level_index(cfg) + 1]
+        kattn = jax.random.split(keys[2 * n + 3])[0]
+        params["attn"] = attention.separable_attn_init(kattn, c_attn)
+
+    stats = {"levels": stats_levels, "out_bn": norm.stats_init(c_last)}
+    return params, stats
+
+
+def _attn_level_index(cfg: GConfig) -> int:
+    """Index of the upsampling level whose OUTPUT resolution == attn_res."""
+    res = cfg.base_res
+    for i in range(cfg.n_levels):
+        res *= 2
+        if res == cfg.attn_res:
+            return i
+    raise ValueError(f"attn_res={cfg.attn_res} not on the resolution path")
+
+
+def apply(params: dict, stats: dict, z: jax.Array, y: jax.Array,
+          cfg: GConfig, train: bool,
+          axis_name: Optional[str] = None) -> tuple[jax.Array, dict]:
+    """G(z, y) -> (video (B, T, H, W, 3) in [-1, 1], new_stats).
+
+    z: (B, z_dim) float; y: (B,) int32 class ids. `train` is static.
+    """
+    b = z.shape[0]
+    t = cfg.n_frames
+    n = cfg.n_levels
+    dtype = z.dtype
+
+    e = layers.embedding(params["embed"], y).astype(dtype)     # (B, emb)
+    chunks = jnp.split(z, n + 1, axis=-1)
+
+    c0 = cfg.ch * cfg.mults[0]
+    x = layers.linear(params["seed"], chunks[0])
+    x = x.reshape(b, cfg.base_res, cfg.base_res, c0)
+    # broadcast the latent seed over time: the ConvGRU input at level 0
+    x_seq = jnp.broadcast_to(x[:, None], (b, t) + x.shape[1:])
+
+    attn_idx = (_attn_level_index(cfg)
+                if "attn" in params else -1)
+
+    new_stats_levels = []
+    for i in range(n):
+        lvl = params["levels"][i]
+        cond = jnp.concatenate([chunks[i + 1], e], axis=-1)    # (B, cond)
+        cond_bt = jnp.repeat(cond, t, axis=0)                  # (B*T, cond)
+
+        h_seq = convgru.convgru(lvl["gru"], x_seq)             # (B,T,H,W,C)
+        hw = h_seq.shape[2]
+        h = h_seq.reshape(b * t, hw, hw, h_seq.shape[-1])      # fold time
+        h, s = resblocks.gresblock(
+            lvl["block"], stats["levels"][i], h, cond_bt,
+            train=train, upsample=True, axis_name=axis_name)
+        new_stats_levels.append(s)
+        x_seq = h.reshape(b, t, 2 * hw, 2 * hw, h.shape[-1])
+
+        if i == attn_idx:
+            x_seq = attention.separable_attn(params["attn"], x_seq)
+
+    hw = x_seq.shape[2]
+    h = x_seq.reshape(b * t, hw, hw, x_seq.shape[-1])
+    h, s_out = norm.bn(params["out_bn"], stats["out_bn"], h,
+                       train=train, axis_name=axis_name)
+    h = jax.nn.relu(h)
+    h = layers.conv2d(params["out_conv"], h)
+    video = jnp.tanh(h.astype(jnp.float32)).astype(dtype)
+    video = video.reshape(b, t, hw, hw, 3)
+
+    return video, {"levels": new_stats_levels, "out_bn": s_out}

@@ -1,0 +1,6 @@
+"""Parallelism: mesh construction, sharding helpers, shard_map'd DP train
+step with gradient psum + cross-replica BN — SURVEY.md §2.16, §5.8."""
+
+from dvdgan_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS, batch_sharding, make_mesh, make_parallel_train_step,
+    replicate_state, replicated, shard_batch)

@@ -1,0 +1,92 @@
+"""Device mesh + data-parallel train step (SURVEY.md §2.16, §5.8).
+
+XLA collectives are the comm backend — there is no NCCL/MPI analog to port.
+The strategy (matching the original paper's TPU system, not the reference's
+single-process nn.DataParallel): a 1-D `data` mesh; batch sharded over it;
+parameters/optimizer state replicated; gradients `pmean`ed over ICI inside
+the step; BatchNorm moments `pmean`ed too (cross-replica BN — the one
+collective the model itself needs, SURVEY §2.16).
+
+The mesh API keeps an optional `model` axis seam for tensor parallelism
+(SURVEY §2 checklist): `make_mesh((8, 1), ("data", "model"))` — unused by
+DVD-GAN but the train-step wrapper only touches the `data` axis, so a model
+axis can be layered on later without changing this file's contract.
+
+Multi-host: call `jax.distributed.initialize()` before `make_mesh()`; the
+mesh then spans all processes' devices and the same shard_map program runs
+ICI collectives within a slice and DCN-hierarchical reductions across slices
+(XLA handles the hierarchy from the device topology).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dvdgan_tpu.models import DSConfig, DTConfig, GConfig
+from dvdgan_tpu.train import step as train_step_mod
+from dvdgan_tpu.train.state import TrainConfig
+
+DATA_AXIS = "data"
+
+
+def make_mesh(shape: Optional[Tuple[int, ...]] = None,
+              axis_names: Sequence[str] = (DATA_AXIS,),
+              devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (devices.size,)
+    return Mesh(devices.reshape(shape), axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, clip: np.ndarray, labels: np.ndarray):
+    """Host batch -> device arrays, batch-sharded over the mesh."""
+    s = batch_sharding(mesh)
+    return jax.device_put(clip, s), jax.device_put(labels, s)
+
+
+def replicate_state(mesh: Mesh, state):
+    return jax.device_put(state, replicated(mesh))
+
+
+def make_parallel_train_step(g_cfg: GConfig, ds_cfg: DSConfig,
+                             dt_cfg: DTConfig, tc: TrainConfig,
+                             mesh: Mesh, donate: bool = True):
+    """shard_map'd + jitted data-parallel train step.
+
+    f(state, real, y, key) with: state replicated; real/y batch-sharded;
+    key replicated — each replica folds in its `data`-axis index so z draws
+    and frame samplings are independent per shard (the per-step RNG contract
+    extends with the axis index; metrics are pmean'd so every host sees the
+    global value).
+    """
+    inner = functools.partial(
+        train_step_mod.train_step, g_cfg=g_cfg, ds_cfg=ds_cfg, dt_cfg=dt_cfg,
+        tc=tc, axis_name=DATA_AXIS)
+
+    def per_shard(state, real, y, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+        state, metrics = inner(state, real, y, key)
+        metrics = jax.lax.pmean(metrics, DATA_AXIS)
+        return state, metrics
+
+    mapped = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,) if donate else ())

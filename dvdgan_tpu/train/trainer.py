@@ -1,0 +1,154 @@
+"""Trainer orchestration (SURVEY.md §2.10, §3.1 control flow).
+
+`Trainer(config).train()` mirrors the reference's [R trainer.py] surface:
+builds models/optimizers (create or resume), iterates the data loader,
+runs the jitted alternating G/D step, and on the reference's schedule flags
+(log_step / sample_step / model_save_step) writes scalars, dumps EMA-G
+sample GIFs/grids, and checkpoints. Auto-resumes from the latest checkpoint
+(preemption safety, SURVEY §5.3) or from --pretrained_model.
+
+Device strategy: with >1 visible device the step runs shard_map'd over a
+1-D `data` mesh (grad psum + cross-replica BN); single-device uses the plain
+jitted step. Either way the host loop only touches numpy batches and
+device_put's them with the right sharding.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvdgan_tpu import parallel
+from dvdgan_tpu.data import FrameFolderDataset, Loader, SyntheticVideoDataset
+from dvdgan_tpu.train import checkpoint as ckpt
+from dvdgan_tpu.train import state as train_state
+from dvdgan_tpu.train import step as step_mod
+from dvdgan_tpu.utils.config import Config
+from dvdgan_tpu.utils.logging import MetricWriter, step_line
+from dvdgan_tpu.utils.media import save_batch_gifs, save_video_grid_png
+
+
+class Trainer:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.g_cfg = cfg.g_config()
+        self.ds_cfg = cfg.ds_config()
+        self.dt_cfg = cfg.dt_config()
+        self.tc = cfg.train_config()
+
+        self.out_dir = cfg.out_dir
+        self.ckpt_dir = os.path.join(self.out_dir, "checkpoints")
+        self.sample_dir = os.path.join(self.out_dir, "samples")
+        os.makedirs(self.out_dir, exist_ok=True)
+        self.writer = MetricWriter(os.path.join(self.out_dir, "logs"))
+
+        self.dataset = self._build_dataset()
+        self.loader = Loader(self.dataset, cfg.batch_size, seed=cfg.seed)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        self.state = train_state.create(key, self.g_cfg, self.ds_cfg,
+                                        self.dt_cfg, self.tc)
+        self.start_step = 0
+        self._maybe_resume()
+
+        self.n_devices = jax.device_count()
+        if self.n_devices > 1:
+            self.mesh = parallel.make_mesh()
+            self.state = parallel.replicate_state(self.mesh, self.state)
+            self.step_fn = parallel.make_parallel_train_step(
+                self.g_cfg, self.ds_cfg, self.dt_cfg, self.tc, self.mesh)
+        else:
+            self.mesh = None
+            self.step_fn = step_mod.make_train_step(
+                self.g_cfg, self.ds_cfg, self.dt_cfg, self.tc)
+
+        # fixed eval latents/labels for comparable sample dumps over training
+        kz, ky = jax.random.split(jax.random.PRNGKey(cfg.seed + 1))
+        n_show = min(4, cfg.batch_size)
+        self.z_fixed = jax.random.normal(kz, (n_show, self.g_cfg.z_dim))
+        self.y_fixed = jax.random.randint(ky, (n_show,), 0, cfg.n_classes)
+        self._sample_jit = jax.jit(step_mod.sample, static_argnames=("g_cfg",))
+
+    # ------------------------------------------------------------------ data
+    def _build_dataset(self):
+        c = self.cfg
+        if c.dataset == "synthetic":
+            return SyntheticVideoDataset(
+                n_items=max(c.batch_size * 8, 64), n_frames=c.n_frames,
+                img_size=c.img_size, n_classes=c.n_classes, seed=c.seed)
+        if c.dataset == "frames":
+            ds = FrameFolderDataset(c.data_path, c.n_frames, c.img_size,
+                                    seed=c.seed)
+            if ds.n_classes != c.n_classes:
+                raise ValueError(
+                    f"--n_classes {c.n_classes} != {ds.n_classes} classes "
+                    f"found under {c.data_path}")
+            return ds
+        raise ValueError(f"unknown dataset {c.dataset!r}")
+
+    # ---------------------------------------------------------------- resume
+    def _maybe_resume(self):
+        step = self.cfg.pretrained_model
+        if step is None:
+            step = ckpt.latest_step(self.ckpt_dir)
+        if step is not None:
+            self.state = ckpt.restore(self.ckpt_dir, step, self.state)
+            self.start_step = int(step)
+            print(f"resumed from checkpoint step {step}")
+
+    # ----------------------------------------------------------------- train
+    def train(self, total_step: int | None = None) -> dict:
+        c = self.cfg
+        total = total_step if total_step is not None else c.total_step
+        data = self.loader.forever()
+        metrics = {}
+        t_last = time.time()
+        dtype = jnp.bfloat16 if c.bf16 else jnp.float32
+
+        for i in range(self.start_step, total):
+            clip, labels = next(data)
+            clip = clip.astype(dtype)
+            if self.mesh is not None:
+                real, y = parallel.shard_batch(self.mesh, clip, labels)
+            else:
+                real, y = jnp.asarray(clip), jnp.asarray(labels)
+            # per-step key derived from (seed, step): resume-stable streams
+            key = jax.random.fold_in(jax.random.PRNGKey(c.seed), i)
+            self.state, metrics = self.step_fn(self.state, real, y, key)
+
+            step = i + 1
+            if step % c.log_step == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t_last
+                sps = c.log_step / dt if dt > 0 else 0.0
+                t_last = time.time()
+                self.writer.scalars(m, step)
+                self.writer.scalar("steps_per_sec", sps, step)
+                print(step_line(step, m, sps))
+            if c.sample_step and step % c.sample_step == 0:
+                self.dump_samples(step)
+            if c.model_save_step and step % c.model_save_step == 0:
+                ckpt.save(self.ckpt_dir, step, jax.device_get(self.state))
+        return {k: float(v) for k, v in metrics.items()} if metrics else {}
+
+    # ---------------------------------------------------------------- sample
+    def sample(self, z=None, y=None):
+        """EMA-G inference (SURVEY §3.4). Returns (B, T, H, W, 3) in [-1,1]."""
+        st = self.state
+        z = self.z_fixed if z is None else z
+        y = self.y_fixed if y is None else y
+        return self._sample_jit(st["g_ema"], st["g"]["stats"],
+                                st["g"]["sn_u"], z, y, g_cfg=self.g_cfg)
+
+    def dump_samples(self, step: int):
+        videos = np.asarray(jax.device_get(self.sample()), np.float32)
+        save_video_grid_png(
+            os.path.join(self.sample_dir, f"{step}_grid.png"), videos)
+        save_batch_gifs(self.sample_dir, videos, step)
+
+    def close(self):
+        self.writer.close()

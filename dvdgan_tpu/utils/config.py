@@ -1,0 +1,130 @@
+"""Config / CLI (SURVEY.md §2.13, §5.6).
+
+Flag names mirror the reference's argparse surface for API parity
+(`--batch_size, --n_frames, --img_size, --z_dim, --lr_g, --lr_d, --d_steps,
+--total_step, --log_step, --sample_step, --model_save_step,
+--pretrained_model, --dataset, --data_path, --seed`, [R main.py]/[R
+utils.py]) plus TPU-era additions (--ch, --bf16, --n_devices, --profile).
+Presets named after BASELINE.json's five configs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Optional
+
+from dvdgan_tpu.models import DSConfig, DTConfig, GConfig
+from dvdgan_tpu.train.state import TrainConfig
+
+
+@dataclasses.dataclass
+class Config:
+    # data
+    dataset: str = "synthetic"        # synthetic | frames
+    data_path: str = ""
+    n_classes: int = 101
+    # model
+    img_size: int = 64
+    n_frames: int = 16
+    z_dim: int = 120
+    ch: int = 32
+    d_ch: int = 32
+    emb_dim: int = 120
+    attn_res: int = 32
+    k_frames: int = 8
+    # optimization
+    batch_size: int = 32
+    lr_g: float = 1e-4
+    lr_d: float = 5e-4
+    beta1: float = 0.0
+    beta2: float = 0.999
+    d_steps: int = 2
+    ema_decay: float = 0.9999
+    ema_start: int = 1000
+    total_step: int = 100000
+    # schedule
+    log_step: int = 10
+    sample_step: int = 500
+    model_save_step: int = 1000
+    pretrained_model: Optional[int] = None   # resume from this step
+    # runtime
+    seed: int = 0
+    bf16: bool = True
+    out_dir: str = "runs/default"
+    profile: bool = False
+
+    # ---- derived model configs ------------------------------------------
+    def g_config(self) -> GConfig:
+        attn = self.attn_res if self.attn_res <= self.img_size // 2 else None
+        return GConfig(img_size=self.img_size, n_frames=self.n_frames,
+                       ch=self.ch, z_dim=self.z_dim,
+                       n_classes=self.n_classes, emb_dim=self.emb_dim,
+                       attn_res=attn)
+
+    def ds_config(self) -> DSConfig:
+        return DSConfig(img_size=self.img_size, ch=self.d_ch,
+                        n_classes=self.n_classes,
+                        k_frames=min(self.k_frames, self.n_frames))
+
+    def dt_config(self) -> DTConfig:
+        return DTConfig(img_size=self.img_size, n_frames=self.n_frames,
+                        ch=self.d_ch, n_classes=self.n_classes)
+
+    def train_config(self) -> TrainConfig:
+        return TrainConfig(lr_g=self.lr_g, lr_d=self.lr_d, beta1=self.beta1,
+                           beta2=self.beta2, d_steps=self.d_steps,
+                           ema_decay=self.ema_decay,
+                           ema_start=self.ema_start,
+                           batch_size=self.batch_size)
+
+
+# The five driver configs (BASELINE.json .configs), as named presets.
+PRESETS: dict[str, dict] = {
+    # 0: CPU smoke — one G+D step + sample
+    "smoke": dict(dataset="synthetic", img_size=64, n_frames=8, ch=16,
+                  d_ch=16, batch_size=4, n_classes=10, d_steps=1,
+                  total_step=1, attn_res=32, k_frames=4, ema_start=0),
+    # 1: UCF-101 64×64×16 full DVD-GAN
+    "ucf101_64": dict(dataset="frames", img_size=64, n_frames=16,
+                      n_classes=101, batch_size=32, attn_res=32),
+    # 2: Kinetics-600 class-conditional 64×64×12
+    "kinetics_64": dict(dataset="frames", img_size=64, n_frames=12,
+                        n_classes=600, batch_size=32, attn_res=32),
+    # 3: Kinetics-600 128×128×12, attention at 32×32, DP on v5e-8
+    "kinetics_128": dict(dataset="frames", img_size=128, n_frames=12,
+                         n_classes=600, batch_size=64, attn_res=32),
+    # 4: Kinetics-600 256×256 / 48-frame long-clip, pod-scale DP
+    "kinetics_256_48f": dict(dataset="frames", img_size=256, n_frames=48,
+                             n_classes=600, batch_size=512, attn_res=32),
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        "dvdgan_tpu",
+        description="TPU-native DVD-GAN trainer (reference CLI parity)")
+    p.add_argument("--preset", choices=sorted(PRESETS), default=None)
+    for f in dataclasses.fields(Config):
+        arg = f"--{f.name}"
+        if f.type == "bool" or isinstance(f.default, bool):
+            p.add_argument(arg, type=lambda s: s.lower() in ("1", "true", "t"),
+                           default=None)
+        elif f.name == "pretrained_model":
+            p.add_argument(arg, type=int, default=None)
+        else:
+            typ = {int: int, float: float, str: str}.get(type(f.default), str)
+            p.add_argument(arg, type=typ, default=None)
+    return p
+
+
+def parse_config(argv=None) -> Config:
+    args = build_parser().parse_args(argv)
+    base: dict = {}
+    if args.preset:
+        base.update(PRESETS[args.preset])
+    for f in dataclasses.fields(Config):
+        v = getattr(args, f.name)
+        if v is not None:
+            base[f.name] = v
+    return Config(**base)

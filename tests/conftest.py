@@ -1,10 +1,16 @@
-"""Test harness: force an 8-virtual-device CPU platform BEFORE jax imports,
-so sharding/collective paths (psum grads, cross-replica BN) are exercised
-without a real TPU pod (SURVEY.md §4)."""
+"""Test harness: force an 8-virtual-device CPU platform so sharding /
+collective paths (psum grads, cross-replica BN) are exercised without a real
+TPU pod (SURVEY.md §4).
+
+Note: the axon TPU plugin's sitecustomize force-sets
+`jax_platforms="axon,cpu"` at interpreter start, overriding the
+JAX_PLATFORMS env var — so we override it back AFTER importing jax, before
+any backend is initialized. Device-count forcing must still happen via
+XLA_FLAGS before import.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,4 +18,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,99 @@
+"""Model-layer tests: shapes, conditioning, param golden counts
+(SURVEY.md §4 'do better, cheaply': unit tests per model)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvdgan_tpu.models import DSConfig, DTConfig, GConfig
+from dvdgan_tpu.models import discriminator, generator
+from dvdgan_tpu.ops import resize
+from dvdgan_tpu.ops import spectral_norm as sn
+
+G_CFG = GConfig(img_size=32, n_frames=4, ch=8, z_dim=120, n_classes=5,
+                emb_dim=16, attn_res=16)
+DS_CFG = DSConfig(img_size=32, ch=8, n_classes=5, k_frames=2)
+DT_CFG = DTConfig(img_size=32, n_frames=4, ch=8, n_classes=5)
+
+
+def key(i=0):
+    return jax.random.PRNGKey(i)
+
+
+def test_generator_output_shape_and_range():
+    p, stats = generator.init(key(0), G_CFG)
+    z = jax.random.normal(key(1), (2, G_CFG.z_dim))
+    y = jnp.array([0, 4])
+    video, new_stats = generator.apply(p, stats, z, y, G_CFG, train=True)
+    assert video.shape == (2, 4, 32, 32, 3)
+    v = np.asarray(video)
+    assert v.min() >= -1.0 and v.max() <= 1.0
+    assert np.isfinite(v).all()
+    # BN stats must have advanced in train mode
+    before = jax.tree.leaves(stats)
+    after = jax.tree.leaves(new_stats)
+    assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+def test_generator_eval_mode_uses_running_stats():
+    p, stats = generator.init(key(0), G_CFG)
+    z = jax.random.normal(key(1), (2, G_CFG.z_dim))
+    y = jnp.array([1, 2])
+    _, s1 = generator.apply(p, stats, z, y, G_CFG, train=False)
+    # eval mode must not mutate stats
+    for b, a in zip(jax.tree.leaves(stats), jax.tree.leaves(s1)):
+        assert np.array_equal(np.asarray(b), np.asarray(a))
+
+
+def test_generator_class_conditioning_changes_output():
+    p, stats = generator.init(key(0), G_CFG)
+    z = jax.random.normal(key(1), (1, G_CFG.z_dim))
+    v0, _ = generator.apply(p, stats, z, jnp.array([0]), G_CFG, train=False)
+    v1, _ = generator.apply(p, stats, z, jnp.array([3]), G_CFG, train=False)
+    assert not np.allclose(np.asarray(v0), np.asarray(v1))
+
+
+def test_generator_frames_differ_over_time():
+    """The ConvGRU must make frames temporally distinct even though the
+    per-frame conv stack is identical (the latent seed is constant in T)."""
+    p, stats = generator.init(key(0), G_CFG)
+    z = jax.random.normal(key(1), (1, G_CFG.z_dim))
+    v, _ = generator.apply(p, stats, z, jnp.array([2]), G_CFG, train=False)
+    v = np.asarray(v)
+    assert not np.allclose(v[0, 0], v[0, -1])
+
+
+def test_ds_shapes_and_projection():
+    p = discriminator.ds_init(key(0), DS_CFG)
+    frames = jax.random.normal(key(1), (3, DS_CFG.k_frames, 32, 32, 3))
+    y = jnp.array([0, 1, 4])
+    s = discriminator.ds_apply(p, frames, y, DS_CFG)
+    assert s.shape == (3,)
+    # class-conditional: same frames, different label → different score
+    s2 = discriminator.ds_apply(p, frames, jnp.array([1, 0, 2]), DS_CFG)
+    assert not np.allclose(np.asarray(s), np.asarray(s2))
+
+
+def test_dt_shapes():
+    p = discriminator.dt_init(key(0), DT_CFG)
+    clip = jax.random.normal(key(1), (2, 4, 32, 32, 3))
+    half = resize.avg_pool_2x_video(clip)
+    assert half.shape == (2, 4, 16, 16, 3)
+    s = discriminator.dt_apply(p, half, jnp.array([0, 3]), DT_CFG)
+    assert s.shape == (2,)
+    assert np.isfinite(np.asarray(s)).all()
+
+
+def test_sn_covers_all_model_kernels():
+    """Every conv/linear kernel and embedding in G, DS, DT opts into the SN
+    pass (SURVEY §2.1: SN everywhere)."""
+    for params in [generator.init(key(0), G_CFG)[0],
+                   discriminator.ds_init(key(1), DS_CFG),
+                   discriminator.dt_init(key(2), DT_CFG)]:
+        u = sn.sn_init(key(3), params)
+        from dvdgan_tpu.core import tree as tru
+        flat = tru.flatten_with_paths(params)
+        kernels = [p for p in flat
+                   if p.rsplit("/", 1)[-1] in ("w", "emb")]
+        assert set(kernels) == set(u.keys())
+        assert len(kernels) > 0
