@@ -1,0 +1,70 @@
+"""Benchmark harness: train steps/sec/chip at 64×64×16f (the BASELINE.json
+metric), measured on the real device this process sees.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "steps/sec/chip", "vs_baseline": N}
+
+Baseline note (BASELINE.md): the reference repo publishes no throughput and
+the reference mount is empty, so the V100 per-device number CANNOT be
+measured here. `vs_baseline` is therefore computed against a documented
+ESTIMATE of the PyTorch reference on V100 for this exact config
+(batch 8/device, 16 frames, 64×64, d_steps=2 → ~1.0 train steps/s — a
+research-grade single-GPU DVD-GAN at this size is of order 1 step/s), to be
+replaced with a measured number if the mount is ever populated. The target
+is vs_baseline ≥ 5.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_V100_STEPS_PER_SEC_ESTIMATE = 1.0
+
+BATCH_PER_CHIP = 8
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    from dvdgan_tpu.models import DSConfig, DTConfig, GConfig
+    from dvdgan_tpu.train import TrainConfig, create, make_train_step
+
+    g_cfg = GConfig(img_size=64, n_frames=16, ch=32, z_dim=120,
+                    n_classes=101, emb_dim=120, attn_res=32)
+    ds_cfg = DSConfig(img_size=64, ch=32, n_classes=101, k_frames=8)
+    dt_cfg = DTConfig(img_size=64, n_frames=16, ch=32, n_classes=101)
+    tc = TrainConfig(d_steps=2, batch_size=BATCH_PER_CHIP)
+
+    state = create(jax.random.PRNGKey(0), g_cfg, ds_cfg, dt_cfg, tc)
+    rng = np.random.RandomState(0)
+    real = jnp.asarray(
+        rng.randn(BATCH_PER_CHIP, 16, 64, 64, 3), jnp.bfloat16)
+    y = jnp.asarray(rng.randint(0, 101, BATCH_PER_CHIP), jnp.int32)
+
+    step = make_train_step(g_cfg, ds_cfg, dt_cfg, tc)
+    for i in range(WARMUP):
+        state, metrics = step(state, real, y, jax.random.PRNGKey(i))
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, metrics = step(state, real, y, jax.random.PRNGKey(100 + i))
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    sps = ITERS / dt
+    print(json.dumps({
+        "metric": "train_steps_per_sec_per_chip_64x64x16f",
+        "value": round(sps, 4),
+        "unit": "steps/sec/chip",
+        "vs_baseline": round(sps / REF_V100_STEPS_PER_SEC_ESTIMATE, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
