@@ -1,0 +1,85 @@
+"""Input-pipeline tests (SURVEY.md §2.12): synthetic determinism, frame-
+folder fixtures (.npy — no codecs needed), window sampling, normalization
+range, loader batching/prefetch."""
+
+import numpy as np
+
+from dvdgan_tpu.data import FrameFolderDataset, Loader, SyntheticVideoDataset
+from dvdgan_tpu.utils.media import denorm_uint8, video_grid
+
+
+def test_synthetic_shapes_and_determinism():
+    ds = SyntheticVideoDataset(16, n_frames=4, img_size=32, n_classes=5)
+    clip, label = ds[3]
+    assert clip.shape == (4, 32, 32, 3) and clip.dtype == np.float32
+    assert clip.min() >= -1.0 and clip.max() <= 1.0
+    clip2, label2 = ds[3]
+    assert np.array_equal(clip, clip2) and label == label2
+    assert label == 3 % 5
+
+
+def test_synthetic_motion():
+    ds = SyntheticVideoDataset(8, n_frames=8, img_size=32, n_classes=5)
+    clip, _ = ds[1]
+    assert not np.array_equal(clip[0], clip[7])
+
+
+def _write_fixture(root, n_classes=2, n_videos=2, t0=10, size=48):
+    rng = np.random.RandomState(0)
+    for c in range(n_classes):
+        cdir = root / f"class{c}"
+        cdir.mkdir(parents=True)
+        for v in range(n_videos):
+            arr = rng.randint(0, 256, (t0, size, size, 3), dtype=np.uint8)
+            np.save(cdir / f"vid{v}.npy", arr)
+
+
+def test_frame_folder_npy(tmp_path):
+    _write_fixture(tmp_path)
+    ds = FrameFolderDataset(str(tmp_path), n_frames=4, img_size=32)
+    assert len(ds) == 4 and ds.n_classes == 2
+    clip, label = ds[0]
+    assert clip.shape == (4, 32, 32, 3)
+    assert clip.min() >= -1.0 and clip.max() <= 1.0
+    assert label == 0
+    _, label3 = ds[3]
+    assert label3 == 1
+
+
+def test_frame_folder_short_clip_looped(tmp_path):
+    cdir = tmp_path / "a" / "v0"
+    cdir.parent.mkdir()
+    np.save(tmp_path / "a" / "v0.npy",
+            np.zeros((2, 8, 8, 3), np.uint8))
+    ds = FrameFolderDataset(str(tmp_path), n_frames=6, img_size=8)
+    clip, _ = ds[0]
+    assert clip.shape == (6, 8, 8, 3)
+
+
+def test_loader_batches_and_drop_last():
+    ds = SyntheticVideoDataset(10, n_frames=2, img_size=16, n_classes=3)
+    loader = Loader(ds, batch_size=4)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2  # drop_last
+    clips, labels = batches[0]
+    assert clips.shape == (4, 2, 16, 16, 3)
+    assert labels.shape == (4,) and labels.dtype == np.int32
+
+
+def test_loader_forever_and_shuffle_differs_by_epoch():
+    ds = SyntheticVideoDataset(8, n_frames=2, img_size=16, n_classes=3)
+    loader = Loader(ds, batch_size=8)
+    it = loader.forever()
+    _, l1 = next(it)
+    _, l2 = next(it)
+    assert l1.shape == l2.shape == (8,)
+    assert not np.array_equal(l1, l2)  # different epoch shuffles
+
+
+def test_media_grid_and_denorm():
+    v = np.linspace(-1, 1, 2 * 3 * 4 * 4 * 3, dtype=np.float32)
+    v = v.reshape(2, 3, 4, 4, 3)
+    u = denorm_uint8(v)
+    assert u.dtype == np.uint8 and u.min() >= 0
+    g = video_grid(u)
+    assert g.shape == (2 * 6 + 2, 3 * 6 + 2, 3)

@@ -1,0 +1,80 @@
+"""Eval-harness tests (SURVEY §7.9: ship FVD with a synthetic-feature
+test — pretrained I3D weights need network access)."""
+
+import numpy as np
+
+from dvdgan_tpu.eval import (ClassifierProbs, I3DLikeFeatures,
+                             extract_features, frechet_distance, fvd,
+                             inception_score, statistics)
+
+
+def test_frechet_zero_for_identical_distributions():
+    rng = np.random.RandomState(0)
+    f = rng.randn(500, 8)
+    mu, cov = statistics(f)
+    assert abs(frechet_distance(mu, cov, mu, cov)) < 1e-6
+
+
+def test_frechet_known_gaussian_shift():
+    """For two isotropic Gaussians differing only in mean, FD = |Δμ|²."""
+    rng = np.random.RandomState(1)
+    a = rng.randn(200000, 4)
+    b = rng.randn(200000, 4) + np.array([2.0, 0, 0, 0])
+    d = fvd(a, b)
+    assert abs(d - 4.0) < 0.1, d
+
+
+def test_frechet_scale_difference():
+    """Same mean, variance 1 vs 4 per dim: FD = D·(1+4−2·2) = D."""
+    rng = np.random.RandomState(2)
+    a = rng.randn(200000, 3)
+    b = 2.0 * rng.randn(200000, 3)
+    assert abs(fvd(a, b) - 3.0) < 0.1
+
+
+def test_inception_score_bounds():
+    n, c = 1000, 10
+    # uniform probs -> IS = 1
+    probs = np.full((n, c), 1.0 / c)
+    m, _ = inception_score(probs)
+    assert abs(m - 1.0) < 1e-6
+    # one-hot over balanced classes -> IS = c
+    probs = np.eye(c)[np.arange(n) % c]
+    m, _ = inception_score(probs, n_splits=1)
+    assert abs(m - c) < 1e-4
+
+
+def test_i3d_like_extractor_shapes():
+    fx = I3DLikeFeatures(seed=0, widths=(8, 16))
+    v = np.random.RandomState(0).randn(3, 4, 16, 16, 3).astype(np.float32)
+    f = fx(v)
+    assert f.shape == (3, 16)
+    assert np.isfinite(f).all()
+    # deterministic
+    assert np.array_equal(f, fx(v))
+
+
+def test_extract_features_batching():
+    fx = I3DLikeFeatures(seed=0, widths=(8, 16))
+    clips = [np.zeros((4, 16, 16, 3), np.float32) for _ in range(5)]
+    f = extract_features(fx, clips, batch_size=2)
+    assert f.shape == (5, 16)
+
+
+def test_classifier_probs_sum_to_one():
+    cp = ClassifierProbs(n_classes=7, widths=(8, 16))
+    v = np.random.RandomState(1).randn(2, 4, 16, 16, 3).astype(np.float32)
+    p = cp(v)
+    assert p.shape == (2, 7)
+    assert np.allclose(p.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_fvd_discriminates_distributions():
+    """Same extractor: FVD(noise, noise') << FVD(noise, structured)."""
+    fx = I3DLikeFeatures(seed=0, widths=(8, 16))
+    rng = np.random.RandomState(3)
+    a = rng.randn(16, 4, 16, 16, 3).astype(np.float32).clip(-1, 1)
+    b = rng.randn(16, 4, 16, 16, 3).astype(np.float32).clip(-1, 1)
+    c = np.ones((16, 4, 16, 16, 3), np.float32)
+    fa, fb, fc = fx(a), fx(b), fx(c)
+    assert fvd(fa, fb) < fvd(fa, fc)
