@@ -3,15 +3,28 @@
 One ConvGRU runs per generator resolution level, unrolled over the T frames
 with `jax.lax.scan` (the sequential dependency the reference expresses as a
 Python for-loop over time, [R module/ConvGRU.py]). The carried state is the
-(B, H, W, C) hidden map at that level's resolution; everything inside a step
-is conv+elementwise, which XLA fuses per scan iteration.
+(B, H, W, C) hidden map at that level's resolution.
 
-Cell:  rz = σ(Conv3×3([x, h]))            (one conv producing both gates)
-       c  = tanh(Conv3×3([x, r ⊙ h]))
+Cell (the classic ConvGRU update the reference implements with convs over
+concatenated [x, h]):
+
+       rz = σ(Conv3×3_x(x) + Conv3×3_h(h))
+       c  = tanh(Conv3×3_x'(x) + Conv3×3_h'(r ⊙ h))
        h' = (1 − z) ⊙ h + z ⊙ c
 
-Both convs' kernels are named 'w' → spectrally normalized by the tree pass
-(G applies SN everywhere).
+TPU-first decomposition: a conv over concat([x, h]) is BY LINEARITY the sum
+of two convs, so the input halves (`gates_x`, `cand_x`) are HOISTED OUT of
+the time scan and computed for all T frames in one big (B·T)-batch conv —
+MXU-friendly and fully parallel — leaving only the hidden-dependent halves
+(`gates_h`, `cand_h`) inside the sequential scan. This halves the
+latency-bound sequential conv work vs the reference's concat formulation
+while computing the same function family (the two kernel halves are exactly
+the row-blocks of the reference's concat kernel; under spectral norm each
+half gets its own σ — framework contract, documented deviation).
+
+All four kernels are named 'w' → spectrally normalized by the tree pass
+(G applies SN everywhere). Gate math runs in float32; activations keep the
+input dtype.
 
 Framework RNG/init contract (documented; reference detail uncertain per
 SURVEY): the initial hidden state is zeros at every level; the level-0 input
@@ -28,41 +41,58 @@ from dvdgan_tpu.ops import layers
 
 
 def convgru_init(key, c: int, k: int = 3) -> dict:
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     return {
-        "gates": layers.conv2d_init(k1, k, 2 * c, 2 * c),
-        "cand": layers.conv2d_init(k2, k, 2 * c, c),
+        "gates_x": layers.conv2d_init(k1, k, c, 2 * c),
+        "gates_h": layers.conv2d_init(k2, k, c, 2 * c, use_bias=False),
+        "cand_x": layers.conv2d_init(k3, k, c, c),
+        "cand_h": layers.conv2d_init(k4, k, c, c, use_bias=False),
     }
 
 
 def convgru_cell(p: dict, x: jax.Array, h: jax.Array) -> jax.Array:
-    """One GRU step. x, h: (B, H, W, C) -> h': (B, H, W, C)."""
-    xh = jnp.concatenate([x, h], axis=-1)
-    rz = jax.nn.sigmoid(layers.conv2d(p["gates"], xh).astype(jnp.float32))
+    """One GRU step from raw x. x, h: (B, H, W, C) -> (B, H, W, C)."""
+    gx = layers.conv2d(p["gates_x"], x)
+    cx = layers.conv2d(p["cand_x"], x)
+    return _cell_from_hoisted(p, gx, cx, h)
+
+
+def _cell_from_hoisted(p: dict, gx: jax.Array, cx: jax.Array, h: jax.Array
+                       ) -> jax.Array:
+    """GRU step given precomputed input contributions gx=(…,2C), cx=(…,C)."""
+    gh = layers.conv2d(p["gates_h"], h)
+    rz = jax.nn.sigmoid((gx + gh).astype(jnp.float32))
     r, z = jnp.split(rz, 2, axis=-1)
-    r = r.astype(x.dtype)
-    cand_in = jnp.concatenate([x, (r * h.astype(r.dtype))], axis=-1)
-    c = jnp.tanh(layers.conv2d(p["cand"], cand_in).astype(jnp.float32))
+    ch = layers.conv2d(p["cand_h"], (r.astype(h.dtype) * h))
+    c = jnp.tanh((cx + ch).astype(jnp.float32))
     h32 = h.astype(jnp.float32)
     h_new = (1.0 - z) * h32 + z * c
-    return h_new.astype(x.dtype)
+    return h_new.astype(h.dtype)
 
 
-def convgru(p: dict, x_seq: jax.Array, h0: jax.Array | None = None
-            ) -> jax.Array:
+def convgru(p: dict, x_seq: jax.Array, h0: jax.Array | None = None,
+            unroll: int = 2) -> jax.Array:
     """Unroll over time. x_seq: (B, T, H, W, C) -> hidden seq, same shape.
 
-    lax.scan keeps the compiled program O(1) in T (single traced step), the
-    TPU-idiomatic replacement for the reference's per-frame Python loop.
+    The input-to-gates convs run OUTSIDE the scan over the folded (B·T)
+    batch (see module docstring); `lax.scan` then carries only the O(1)
+    hidden state. `unroll` trades compiled-code size for less loop overhead
+    (the per-step convs at low resolutions are tiny and latency-bound).
     """
     b, t, h, w, c = x_seq.shape
     if h0 is None:
         h0 = jnp.zeros((b, h, w, c), x_seq.dtype)
-    xs = jnp.moveaxis(x_seq, 1, 0)  # time-major for scan
 
-    def step(hid, x):
-        hid = convgru_cell(p, x, hid)
+    xf = x_seq.reshape(b * t, h, w, c)
+    gx = layers.conv2d(p["gates_x"], xf).reshape(b, t, h, w, 2 * c)
+    cx = layers.conv2d(p["cand_x"], xf).reshape(b, t, h, w, c)
+    gx = jnp.moveaxis(gx, 1, 0)  # time-major for scan
+    cx = jnp.moveaxis(cx, 1, 0)
+
+    def step(hid, inputs):
+        gx_t, cx_t = inputs
+        hid = _cell_from_hoisted(p, gx_t, cx_t, hid)
         return hid, hid
 
-    _, hs = jax.lax.scan(step, h0, xs)
+    _, hs = jax.lax.scan(step, h0, (gx, cx), unroll=min(unroll, t))
     return jnp.moveaxis(hs, 0, 1)

@@ -75,14 +75,19 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
 
     keys = jax.random.split(key, 3 * tc.d_steps + 2)
 
+    # G's params and sn_u are constant across the whole D phase, so the
+    # σ-normalization of G is computed ONCE and reused for every D step's
+    # fake generation (the σ math is ~70 small matvecs — latency-bound on
+    # TPU; recomputing it per D step is pure overhead).
+    g_sn, _ = sn.sn_normalize(state["g"]["params"], state["g"]["sn_u"],
+                              update=False)
+
     # ---------------------------------------------------- D phase ×d_steps --
     for i in range(tc.d_steps):
         kz, kreal_f, kfake_f = keys[3 * i:3 * i + 3]
         z = jax.random.normal(kz, (b, g_cfg.z_dim), real.dtype)
 
         # fakes from the CURRENT G, u frozen, stat updates discarded
-        g_sn, _ = sn.sn_normalize(state["g"]["params"], state["g"]["sn_u"],
-                                  update=False)
         fake, _ = generator.apply(g_sn, state["g"]["stats"], z, y, g_cfg,
                                   train=True, axis_name=axis_name)
         fake = jax.lax.stop_gradient(fake)
