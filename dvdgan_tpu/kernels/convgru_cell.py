@@ -1,0 +1,176 @@
+"""Fused ConvGRU cell as a Pallas TPU kernel (SURVEY.md §2 native
+obligation #1: "gate convs + sigmoid/tanh + blend in one Pallas kernel;
+scanned over T").
+
+One kernel invocation computes a full GRU timestep from the hoisted input
+contributions (see ops/convgru.py for the hoisting):
+
+    gh = Conv3×3(h, wg)          # 9 shifted MXU matmuls, f32 accumulate
+    r, z = σ(gx + gh).split
+    ch = Conv3×3(r ⊙ h, wc)
+    h' = (1 − z) ⊙ h + z ⊙ tanh(cx + ch)
+
+Everything — both 3×3 convs (as 9 shifted matmuls each), the gate
+nonlinearities and the blend — happens in ONE kernel with h resident in
+VMEM, eliminating the HBM round-trips between the ~10 XLA ops a scan step
+otherwise lowers to. The carried state is at most (B, 32, 32, C) for the
+64/128-px generators — comfortably inside the ~16 MB VMEM budget (the
+pallas_call is only used when the block fits; ops/convgru.py falls back to
+the XLA path otherwise).
+
+Training integration: `gru_cell_fused` carries a custom VJP whose backward
+recomputes the step with plain-JAX ops and differentiates that (flash-style
+recompute — the forward saves only its inputs). Forward speed comes from
+Pallas; gradient correctness comes from jax.vjp of the reference math.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM budget gate for one batch-block's working set. Kept well under the
+# ~16MB/core VMEM because the grid pipeline double-buffers the in/out blocks
+# on top of this (empirically: 10MB-per-block compiles single-block but OOMs
+# the Mosaic compiler once grid>1).
+_VMEM_LIMIT_BYTES = 7 * 1024 * 1024
+
+
+def _conv3x3_from_padded(hp: jax.Array, w: jax.Array, b: int, h: int,
+                         w_: int) -> jax.Array:
+    """hp: (B, H+2, W+2, C) padded input; w: (3, 3, C, Cout) ->
+    (B*H*W, Cout) f32 — a 3×3 SAME conv as 9 shifted matmuls on the MXU."""
+    c = hp.shape[-1]
+    cout = w.shape[-1]
+    acc = jnp.zeros((b * h * w_, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            patch = hp[:, dy:dy + h, dx:dx + w_, :].reshape(b * h * w_, c)
+            acc += jnp.dot(patch, w[dy, dx],
+                           preferred_element_type=jnp.float32)
+    return acc
+
+
+def _gru_cell_kernel(gx_ref, cx_ref, h_ref, wg_ref, wc_ref, out_ref,
+                     hp_ref, rhp_ref):
+    b, h, w, c = h_ref.shape
+
+    # zero-padded hidden state in VMEM scratch (SAME-conv halo)
+    hp_ref[:] = jnp.zeros_like(hp_ref)
+    hp_ref[:, 1:h + 1, 1:w + 1, :] = h_ref[:]
+
+    gh = _conv3x3_from_padded(hp_ref[:], wg_ref[:], b, h, w)   # (BHW, 2C) f32
+    gx = gx_ref[:].reshape(b * h * w, 2 * c).astype(jnp.float32)
+    rz = jax.nn.sigmoid(gx + gh)
+    r, z = rz[:, :c], rz[:, c:]
+
+    hflat = h_ref[:].reshape(b * h * w, c).astype(jnp.float32)
+    rh = (r * hflat).astype(h_ref.dtype).reshape(b, h, w, c)
+    rhp_ref[:] = jnp.zeros_like(rhp_ref)
+    rhp_ref[:, 1:h + 1, 1:w + 1, :] = rh
+
+    ch = _conv3x3_from_padded(rhp_ref[:], wc_ref[:], b, h, w)  # (BHW, C) f32
+    cx = cx_ref[:].reshape(b * h * w, c).astype(jnp.float32)
+    cand = jnp.tanh(cx + ch)
+
+    out = (1.0 - z) * hflat + z * cand
+    out_ref[:] = out.astype(out_ref.dtype).reshape(b, h, w, c)
+
+
+def _batch_block(b: int, h: int, w: int, c: int, itemsize: int) -> int:
+    """Largest batch-block size whose working set fits the VMEM budget.
+    Biggest consumers per block: f32 gate intermediates (~3 × BHW×2C×4) and
+    the two padded scratch planes."""
+    for bb in range(b, 0, -1):
+        if b % bb:
+            continue
+        gates = 3 * bb * h * w * 2 * c * 4
+        pads = 2 * bb * (h + 2) * (w + 2) * c * itemsize
+        io = bb * h * w * c * itemsize * 5
+        if gates + pads + io < _VMEM_LIMIT_BYTES:
+            return bb
+    return 1
+
+
+def _cell_pallas(gx: jax.Array, cx: jax.Array, h: jax.Array,
+                 wg: jax.Array, wc: jax.Array,
+                 interpret: bool = False) -> jax.Array:
+    b, hh, ww, c = h.shape
+    bb = _batch_block(b, hh, ww, c, h.dtype.itemsize)
+    grid = (b // bb,)
+
+    def im(i):
+        return (i, 0, 0, 0)
+
+    data_spec = lambda ch: pl.BlockSpec((bb, hh, ww, ch), im,  # noqa: E731
+                                        memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    pad_bytes = bb * (hh + 2) * (ww + 2) * c * h.dtype.itemsize
+    return pl.pallas_call(
+        _gru_cell_kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct(h.shape, h.dtype),
+        in_specs=[data_spec(2 * c), data_spec(c), data_spec(c),
+                  w_spec, w_spec],
+        out_specs=data_spec(c),
+        scratch_shapes=[
+            pltpu.VMEM((bb, hh + 2, ww + 2, c), h.dtype),
+            pltpu.VMEM((bb, hh + 2, ww + 2, c), h.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 9 * b * hh * ww * c * 3 * c,
+            bytes_accessed=(gx.size + cx.size + 2 * h.size) * h.dtype.itemsize
+            + (wg.size + wc.size) * 2 + 2 * grid[0] * pad_bytes,
+            transcendentals=3 * b * hh * ww * c,
+        ),
+        interpret=interpret,
+    )(gx, cx, h, wg, wc)
+
+
+def _cell_reference(gx, cx, h, wg, wc):
+    """Plain-JAX GRU step from hoisted inputs — the backward-pass math and
+    the numerics oracle for the kernel tests."""
+    dn = ("NHWC", "HWIO", "NHWC")
+    gh = jax.lax.conv_general_dilated(h, wg.astype(h.dtype), (1, 1), "SAME",
+                                      dimension_numbers=dn)
+    rz = jax.nn.sigmoid((gx + gh).astype(jnp.float32))
+    r, z = jnp.split(rz, 2, axis=-1)
+    rh = r.astype(h.dtype) * h
+    ch = jax.lax.conv_general_dilated(rh, wc.astype(h.dtype), (1, 1), "SAME",
+                                      dimension_numbers=dn)
+    cand = jnp.tanh((cx + ch).astype(jnp.float32))
+    out = (1.0 - z) * h.astype(jnp.float32) + z * cand
+    return out.astype(h.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def gru_cell_fused(gx, cx, h, wg, wc, interpret=False):
+    """Fused Pallas forward + recompute backward. Shapes:
+    gx (B,H,W,2C), cx (B,H,W,C), h (B,H,W,C), wg (3,3,C,2C), wc (3,3,C,C)."""
+    return _cell_pallas(gx, cx, h, wg, wc, interpret=interpret)
+
+
+def _fwd(gx, cx, h, wg, wc, interpret):
+    return _cell_pallas(gx, cx, h, wg, wc, interpret=interpret), \
+        (gx, cx, h, wg, wc)
+
+
+def _bwd(interpret, res, g):
+    _, vjp = jax.vjp(_cell_reference, *res)
+    return vjp(g)
+
+
+gru_cell_fused.defvjp(_fwd, _bwd)
+
+
+def fits_vmem(b: int, h: int, w: int, c: int, itemsize: int = 2) -> bool:
+    """True when the kernel can run (a batch-block of at least 1 sample
+    fits the VMEM budget)."""
+    gates = 3 * h * w * 2 * c * 4
+    pads = 2 * (h + 2) * (w + 2) * c * itemsize
+    io = h * w * c * itemsize * 5
+    return gates + pads + io < _VMEM_LIMIT_BYTES

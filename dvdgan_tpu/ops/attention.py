@@ -54,7 +54,7 @@ def _attend(p: dict, x_tokens: jax.Array, kv_tokens: jax.Array) -> jax.Array:
     attn = jax.nn.softmax(logits, axis=-1).astype(x_tokens.dtype)
     o = jnp.einsum("nlm,nmc->nlc", attn, v)
     o = layers.linear(p["out"], o)
-    return p["gamma"].astype(jnp.float32) * o.astype(jnp.float32)
+    return p["gamma"].astype(x_tokens.dtype) * o
 
 
 def _maxpool2x_tokens(x: jax.Array, h: int, w: int) -> jax.Array:
@@ -71,11 +71,11 @@ def separable_attn(p: dict, x: jax.Array) -> jax.Array:
     # --- spatial: tokens over HW, batch = B*T --------------------------------
     xs = x.reshape(b * t, h * w, c)
     kv = _maxpool2x_tokens(xs, h, w) if (h % 2 == 0 and w % 2 == 0) else xs
-    xs = xs.astype(jnp.float32) + _attend(p["spatial"], xs, kv)
-    x = xs.astype(x.dtype).reshape(b, t, h, w, c)
+    xs = xs + _attend(p["spatial"], xs, kv)
+    x = xs.reshape(b, t, h, w, c)
 
     # --- temporal: tokens over T, batch = B*H*W ------------------------------
     xt = jnp.moveaxis(x, 1, 3).reshape(b * h * w, t, c)
-    xt = xt.astype(jnp.float32) + _attend(p["temporal"], xt, xt)
-    x = jnp.moveaxis(xt.astype(x.dtype).reshape(b, h, w, t, c), 3, 1)
+    xt = xt + _attend(p["temporal"], xt, xt)
+    x = jnp.moveaxis(xt.reshape(b, h, w, t, c), 3, 1)
     return x

@@ -37,7 +37,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from dvdgan_tpu import kernels
 from dvdgan_tpu.ops import layers
+
+# Global default for the fused-Pallas scan body (auto mode only). Flipped by
+# benchmarks for A/B runs; per-call `use_pallas` always wins.
+PALLAS_ENABLED = True
 
 
 def convgru_init(key, c: int, k: int = 3) -> dict:
@@ -71,13 +76,18 @@ def _cell_from_hoisted(p: dict, gx: jax.Array, cx: jax.Array, h: jax.Array
 
 
 def convgru(p: dict, x_seq: jax.Array, h0: jax.Array | None = None,
-            unroll: int = 2) -> jax.Array:
+            unroll: int = 2, use_pallas: bool | None = None) -> jax.Array:
     """Unroll over time. x_seq: (B, T, H, W, C) -> hidden seq, same shape.
 
     The input-to-gates convs run OUTSIDE the scan over the folded (B·T)
     batch (see module docstring); `lax.scan` then carries only the O(1)
     hidden state. `unroll` trades compiled-code size for less loop overhead
     (the per-step convs at low resolutions are tiny and latency-bound).
+
+    `use_pallas` selects the fused single-kernel GRU step
+    (kernels/convgru_cell.py) for the scan body: None (default) auto-enables
+    it on TPU backends when the state fits VMEM; the plain-XLA path is used
+    otherwise (and on CPU, where the kernel would run interpreted).
     """
     b, t, h, w, c = x_seq.shape
     if h0 is None:
@@ -89,10 +99,25 @@ def convgru(p: dict, x_seq: jax.Array, h0: jax.Array | None = None,
     gx = jnp.moveaxis(gx, 1, 0)  # time-major for scan
     cx = jnp.moveaxis(cx, 1, 0)
 
-    def step(hid, inputs):
-        gx_t, cx_t = inputs
-        hid = _cell_from_hoisted(p, gx_t, cx_t, hid)
-        return hid, hid
+    if use_pallas is None:
+        use_pallas = (PALLAS_ENABLED
+                      and jax.default_backend() not in ("cpu",)
+                      and kernels.fits_vmem(b, h, w, c,
+                                            x_seq.dtype.itemsize))
+
+    if use_pallas:
+        wg = p["gates_h"]["w"].astype(x_seq.dtype)
+        wc = p["cand_h"]["w"].astype(x_seq.dtype)
+
+        def step(hid, inputs):
+            gx_t, cx_t = inputs
+            hid = kernels.gru_cell_fused(gx_t, cx_t, hid, wg, wc)
+            return hid, hid
+    else:
+        def step(hid, inputs):
+            gx_t, cx_t = inputs
+            hid = _cell_from_hoisted(p, gx_t, cx_t, hid)
+            return hid, hid
 
     _, hs = jax.lax.scan(step, h0, (gx, cx), unroll=min(unroll, t))
     return jnp.moveaxis(hs, 0, 1)

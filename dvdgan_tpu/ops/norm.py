@@ -43,8 +43,13 @@ def _batch_moments(x: jax.Array, axis_name: Optional[str]):
 
 
 def _normalize(x, mean, var, eps):
+    """Normalize in the ACTIVATION dtype (bf16 in production): moments are
+    f32-exact, but the big (B·T, H, W, C) elementwise pass is HBM-bandwidth
+    bound, so the per-element math runs at the activation width. mean/inv
+    are per-channel scalars — rounding them to bf16 costs ~1e-3 relative,
+    in line with bf16 conv outputs on either side of the BN."""
     inv = jax.lax.rsqrt(var + eps)
-    return (x.astype(jnp.float32) - mean) * inv
+    return (x - mean.astype(x.dtype)) * inv.astype(x.dtype)
 
 
 def stats_init(c: int) -> dict:
@@ -75,7 +80,7 @@ def bn(p: dict, stats: dict, x: jax.Array, train: bool,
     """(y, new_stats). x: (..., C)."""
     mean, var, new_stats = _select_moments(stats, x, train, axis_name, momentum)
     y = _normalize(x, mean, var, eps)
-    y = y * p["scale"] + p["bias"]
+    y = y * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
     return y.astype(x.dtype), new_stats
 
 
@@ -99,7 +104,8 @@ def cbn(p: dict, stats: dict, x: jax.Array, cond: jax.Array, train: bool,
     affine. Callers with time folded into batch repeat cond over T first."""
     mean, var, new_stats = _select_moments(stats, x, train, axis_name, momentum)
     y = _normalize(x, mean, var, eps)
-    gamma = 1.0 + layers.linear(p["gamma"], cond).astype(jnp.float32)
-    beta = layers.linear(p["beta"], cond).astype(jnp.float32)
+    one = jnp.ones((), x.dtype)
+    gamma = one + layers.linear(p["gamma"], cond)      # (N, C) in x.dtype
+    beta = layers.linear(p["beta"], cond)
     y = y * gamma[:, None, None, :] + beta[:, None, None, :]
     return y.astype(x.dtype), new_stats

@@ -1,0 +1,76 @@
+"""Pallas kernel tests (interpret mode on CPU — SURVEY §7.7 'measure vs
+XLA-fused baseline' happens on the TPU; numerics are validated here)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvdgan_tpu.kernels import convgru_cell as kc
+from dvdgan_tpu.ops import convgru
+
+
+def _rand_cell_inputs(key, b=2, h=6, w=6, c=8, dtype=jnp.float32):
+    ks = jax.random.split(key, 5)
+    gx = jax.random.normal(ks[0], (b, h, w, 2 * c), dtype)
+    cx = jax.random.normal(ks[1], (b, h, w, c), dtype)
+    hh = jax.random.normal(ks[2], (b, h, w, c), dtype)
+    wg = jax.random.normal(ks[3], (3, 3, c, 2 * c), dtype) * 0.1
+    wc = jax.random.normal(ks[4], (3, 3, c, c), dtype) * 0.1
+    return gx, cx, hh, wg, wc
+
+
+def test_fused_cell_matches_reference_f32():
+    args = _rand_cell_inputs(jax.random.PRNGKey(0))
+    out_k = kc.gru_cell_fused(*args, True)
+    out_r = kc._cell_reference(*args)
+    assert np.allclose(np.asarray(out_k), np.asarray(out_r), atol=1e-5)
+
+
+def test_fused_cell_matches_reference_bf16():
+    args = _rand_cell_inputs(jax.random.PRNGKey(1), dtype=jnp.bfloat16)
+    out_k = kc.gru_cell_fused(*args, True)
+    out_r = kc._cell_reference(*args)
+    # both paths accumulate f32 and round once to bf16 on output
+    assert np.allclose(np.asarray(out_k, np.float32),
+                       np.asarray(out_r, np.float32), atol=2e-2)
+
+
+def test_fused_cell_gradients_match_reference():
+    args = _rand_cell_inputs(jax.random.PRNGKey(2), b=1, h=4, w=4, c=4)
+
+    def loss_k(gx, cx, h, wg, wc):
+        return (kc.gru_cell_fused(gx, cx, h, wg, wc, True)
+                .astype(jnp.float32) ** 2).mean()
+
+    def loss_r(gx, cx, h, wg, wc):
+        return (kc._cell_reference(gx, cx, h, wg, wc)
+                .astype(jnp.float32) ** 2).mean()
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(*args)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(gk, gr):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_convgru_pallas_path_matches_xla_path_interpret():
+    """Full scan equality: the fused-kernel scan (interpret mode) must equal
+    the XLA path bit-for-bit-ish in f32."""
+    import unittest.mock as mock
+    c = 8
+    p = convgru.convgru_init(jax.random.PRNGKey(3), c)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 5, 6, 6, c))
+    y_xla = convgru.convgru(p, x, use_pallas=False)
+
+    real = kc.gru_cell_fused
+
+    def interp(gx, cx, h, wg, wc, interpret=False):
+        return real(gx, cx, h, wg, wc, True)
+
+    with mock.patch.object(convgru.kernels, "gru_cell_fused", interp):
+        y_pl = convgru.convgru(p, x, use_pallas=True)
+    assert np.allclose(np.asarray(y_xla), np.asarray(y_pl), atol=1e-5)
+
+
+def test_fits_vmem_gate():
+    assert kc.fits_vmem(8, 32, 32, 64)      # generator level sizes fit
+    assert not kc.fits_vmem(8, 128, 128, 256)  # way over budget
