@@ -19,6 +19,8 @@ from typing import List, Tuple
 
 import numpy as np
 
+from dvdgan_tpu import native
+
 _IMG_EXT = (".jpg", ".jpeg", ".png", ".bmp")
 
 
@@ -35,13 +37,13 @@ def _list_videos(root: str) -> Tuple[List[Tuple[str, int]], List[str]]:
     return items, classes
 
 
-def _load_frames(path: str) -> np.ndarray:
-    """-> (T0, H, W, 3) float32 in [0, 1]."""
+def _load_frames_u8(path: str) -> np.ndarray:
+    """-> (T0, H, W, 3) uint8."""
     if path.endswith(".npy"):
         arr = np.load(path)
-        if arr.dtype == np.uint8:
-            arr = arr.astype(np.float32) / 255.0
-        return arr.astype(np.float32)
+        if arr.dtype != np.uint8:
+            arr = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        return arr
     from PIL import Image
     frames = sorted(f for f in os.listdir(path)
                     if f.lower().endswith(_IMG_EXT))
@@ -50,7 +52,7 @@ def _load_frames(path: str) -> np.ndarray:
     out = []
     for f in frames:
         with Image.open(os.path.join(path, f)) as im:
-            out.append(np.asarray(im.convert("RGB"), np.float32) / 255.0)
+            out.append(np.asarray(im.convert("RGB"), np.uint8))
     return np.stack(out)
 
 
@@ -87,14 +89,11 @@ class FrameFolderDataset:
 
     def __getitem__(self, idx: int):
         path, label = self.items[idx]
-        frames = _load_frames(path)
+        frames = _load_frames_u8(path)
         t0 = frames.shape[0]
         t = self.n_frames
-        if t0 < t:  # loop-pad short clips (reference behavior for short videos)
-            reps = -(-t // t0)
-            frames = np.concatenate([frames] * reps)[:t]
-        else:
-            start = self.rng.randint(0, t0 - t + 1)
-            frames = frames[start:start + t]
-        clip = _center_crop_resize(frames, self.img_size)
-        return (2.0 * clip - 1.0).astype(np.float32), label
+        # window start (short clips wrap modulo T0 — loop padding)
+        start = self.rng.randint(0, t0 - t + 1) if t0 >= t else 0
+        # fused window+crop+resize+normalize (C++ when built, numpy else)
+        clip = native.clip_window(frames, t, self.img_size, start)
+        return clip, label

@@ -49,6 +49,9 @@ class GConfig:
     emb_dim: int = 120           # shared class-embedding width
     attn_res: int = 32           # separable attention at this resolution
     base_res: int = 4
+    # rematerialize each level's activations in backward (SURVEY §5.7:
+    # the 48-frame / 256px configs trade FLOPs for HBM)
+    remat: bool = False
 
     @property
     def mults(self) -> Tuple[int, ...]:

@@ -101,23 +101,31 @@ def apply(params: dict, stats: dict, z: jax.Array, y: jax.Array,
     attn_idx = (_attn_level_index(cfg)
                 if "attn" in params else -1)
 
-    new_stats_levels = []
-    for i in range(n):
-        lvl = params["levels"][i]
-        cond = jnp.concatenate([chunks[i + 1], e], axis=-1)    # (B, cond)
+    def level_body(lvl, lvl_stats, x_seq, cond, i):
         cond_bt = jnp.repeat(cond, t, axis=0)                  # (B*T, cond)
-
         h_seq = convgru.convgru(lvl["gru"], x_seq)             # (B,T,H,W,C)
         hw = h_seq.shape[2]
         h = h_seq.reshape(b * t, hw, hw, h_seq.shape[-1])      # fold time
         h, s = resblocks.gresblock(
-            lvl["block"], stats["levels"][i], h, cond_bt,
+            lvl["block"], lvl_stats, h, cond_bt,
             train=train, upsample=True, axis_name=axis_name)
-        new_stats_levels.append(s)
         x_seq = h.reshape(b, t, 2 * hw, 2 * hw, h.shape[-1])
-
         if i == attn_idx:
             x_seq = attention.separable_attn(params["attn"], x_seq)
+        return x_seq, s
+
+    if cfg.remat:
+        # recompute each level's activations in backward: HBM footprint of
+        # the backward drops from O(levels · T · H · W · C) to one level's
+        # worth — what makes the 48-frame / 256px configs fit (SURVEY §5.7)
+        level_body = jax.checkpoint(level_body, static_argnums=(4,))
+
+    new_stats_levels = []
+    for i in range(n):
+        cond = jnp.concatenate([chunks[i + 1], e], axis=-1)    # (B, cond)
+        x_seq, s = level_body(params["levels"][i], stats["levels"][i],
+                              x_seq, cond, i)
+        new_stats_levels.append(s)
 
     hw = x_seq.shape[2]
     h = x_seq.reshape(b * t, hw, hw, x_seq.shape[-1])

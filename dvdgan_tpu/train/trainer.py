@@ -103,6 +103,8 @@ class Trainer:
     # ----------------------------------------------------------------- train
     def train(self, total_step: int | None = None) -> dict:
         c = self.cfg
+        if c.nan_check:
+            jax.config.update("jax_debug_nans", True)
         total = total_step if total_step is not None else c.total_step
         data = self.loader.forever()
         metrics = {}
@@ -110,6 +112,11 @@ class Trainer:
         dtype = jnp.bfloat16 if c.bf16 else jnp.float32
 
         for i in range(self.start_step, total):
+            if c.profile and i == self.start_step + 10:
+                jax.profiler.start_trace(os.path.join(self.out_dir, "trace"))
+            if c.profile and i == self.start_step + 15:
+                jax.tree.map(lambda x: x.block_until_ready(), metrics)
+                jax.profiler.stop_trace()
             clip, labels = next(data)
             clip = clip.astype(dtype)
             if self.mesh is not None:

@@ -52,7 +52,9 @@ class Config:
     seed: int = 0
     bf16: bool = True
     out_dir: str = "runs/default"
-    profile: bool = False
+    profile: bool = False        # jax.profiler trace of steps 10..15
+    nan_check: bool = False      # jax_debug_nans for the whole run
+    remat: bool = False          # rematerialize G levels (long-clip configs)
 
     # ---- derived model configs ------------------------------------------
     def g_config(self) -> GConfig:
@@ -60,7 +62,7 @@ class Config:
         return GConfig(img_size=self.img_size, n_frames=self.n_frames,
                        ch=self.ch, z_dim=self.z_dim,
                        n_classes=self.n_classes, emb_dim=self.emb_dim,
-                       attn_res=attn)
+                       attn_res=attn, remat=self.remat)
 
     def ds_config(self) -> DSConfig:
         return DSConfig(img_size=self.img_size, ch=self.d_ch,
@@ -96,7 +98,8 @@ PRESETS: dict[str, dict] = {
                          n_classes=600, batch_size=64, attn_res=32),
     # 4: Kinetics-600 256×256 / 48-frame long-clip, pod-scale DP
     "kinetics_256_48f": dict(dataset="frames", img_size=256, n_frames=48,
-                             n_classes=600, batch_size=512, attn_res=32),
+                             n_classes=600, batch_size=512, attn_res=32,
+                             remat=True),
 }
 
 
