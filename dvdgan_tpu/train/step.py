@@ -75,22 +75,29 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
 
     keys = jax.random.split(key, 3 * tc.d_steps + 2)
 
-    # G's params and sn_u are constant across the whole D phase, so the
-    # σ-normalization of G is computed ONCE and reused for every D step's
-    # fake generation (the σ math is ~70 small matvecs — latency-bound on
-    # TPU; recomputing it per D step is pure overhead).
+    # G's params and sn_u are constant across the whole D phase, so (a) the
+    # σ-normalization of G is computed ONCE (the σ math is ~70 small
+    # matvecs — latency-bound; recomputing per D step is pure overhead),
+    # and (b) ALL d_steps fake batches come from ONE G forward at batch
+    # d_steps·B — fewer sequential ConvGRU scan iterations and better MXU
+    # fill than d_steps back-to-back forwards. Each D step keeps its own z
+    # stream (RNG contract unchanged). Framework numerics contract: the
+    # fake-generation batch statistics pool over all d_steps batches
+    # (analogous to cross-replica BN pooling over devices).
     g_sn, _ = sn.sn_normalize(state["g"]["params"], state["g"]["sn_u"],
-                              update=False)
+                              update=False, compute_dtype=real.dtype)
+    z_all = jnp.concatenate(
+        [jax.random.normal(keys[3 * i], (b, g_cfg.z_dim), real.dtype)
+         for i in range(tc.d_steps)])
+    y_all = jnp.tile(y, tc.d_steps)
+    fake_all, _ = generator.apply(g_sn, state["g"]["stats"], z_all, y_all,
+                                  g_cfg, train=True, axis_name=axis_name)
+    fake_all = jax.lax.stop_gradient(fake_all)
 
     # ---------------------------------------------------- D phase ×d_steps --
     for i in range(tc.d_steps):
-        kz, kreal_f, kfake_f = keys[3 * i:3 * i + 3]
-        z = jax.random.normal(kz, (b, g_cfg.z_dim), real.dtype)
-
-        # fakes from the CURRENT G, u frozen, stat updates discarded
-        fake, _ = generator.apply(g_sn, state["g"]["stats"], z, y, g_cfg,
-                                  train=True, axis_name=axis_name)
-        fake = jax.lax.stop_gradient(fake)
+        _, kreal_f, kfake_f = keys[3 * i:3 * i + 3]
+        fake = fake_all[i * b:(i + 1) * b]
 
         idx_r = sample_frame_indices(kreal_f, b, t, k)
         idx_f = sample_frame_indices(kfake_f, b, t, k)
@@ -101,9 +108,11 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
 
         def d_loss_fn(d_params):
             ds_sn, ds_u = sn.sn_normalize(d_params["ds"],
-                                          state["ds"]["sn_u"], update=True)
+                                          state["ds"]["sn_u"], update=True,
+                                          compute_dtype=real.dtype)
             dt_sn, dt_u = sn.sn_normalize(d_params["dt"],
-                                          state["dt"]["sn_u"], update=True)
+                                          state["dt"]["sn_u"], update=True,
+                                          compute_dtype=real.dtype)
             ds_r = discriminator.ds_apply(ds_sn, real_frames, y, ds_cfg)
             ds_f = discriminator.ds_apply(ds_sn, fake_frames, y, ds_cfg)
             dt_r = discriminator.dt_apply(dt_sn, real_half, y, dt_cfg)
@@ -135,12 +144,13 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
     idx_g = sample_frame_indices(kfake_g, b, t, k)
 
     ds_sn, _ = sn.sn_normalize(state["ds"]["params"], state["ds"]["sn_u"],
-                               update=False)
+                               update=False, compute_dtype=real.dtype)
     dt_sn, _ = sn.sn_normalize(state["dt"]["params"], state["dt"]["sn_u"],
-                               update=False)
+                               update=False, compute_dtype=real.dtype)
 
     def g_loss_fn(g_params):
-        g_sn, g_u = sn.sn_normalize(g_params, state["g"]["sn_u"], update=True)
+        g_sn, g_u = sn.sn_normalize(g_params, state["g"]["sn_u"], update=True,
+                                    compute_dtype=real.dtype)
         fake, g_stats = generator.apply(g_sn, state["g"]["stats"], z_g, y,
                                         g_cfg, train=True,
                                         axis_name=axis_name)
@@ -188,6 +198,7 @@ def sample(g_params_ema: dict, g_stats: dict, sn_u: dict, z: jax.Array,
            y: jax.Array, g_cfg: GConfig) -> jax.Array:
     """Inference path (SURVEY §3.4): EMA weights, eval-mode BN (running
     stats), SN applied with frozen u. Returns (B, T, H, W, 3) in [-1, 1]."""
-    g_sn, _ = sn.sn_normalize(g_params_ema, sn_u, update=False)
+    g_sn, _ = sn.sn_normalize(g_params_ema, sn_u, update=False,
+                              compute_dtype=z.dtype)
     video, _ = generator.apply(g_sn, g_stats, z, y, g_cfg, train=False)
     return video
