@@ -1,0 +1,120 @@
+"""Fused spatial self-attention as a Pallas TPU kernel (SURVEY.md §2 native
+obligation #2: separable spatio-temporal self-attention as fused kernels).
+
+One kernel invocation = one frame's ENTIRE spatial attention block:
+
+    q = x·Wq;  kv-tokens = 2×2 max-pool(x);  k = kv·Wk;  v = kv·Wv
+    y = softmax(q kᵀ) v · Wo
+    out = x + γ·y                (residual fused in)
+
+vs the XLA path, this keeps the (HW × HW/4) logits matrix in VMEM instead
+of round-tripping it (f32, the largest intermediate in the generator at
+32×32: 1024×256×4B per frame) through HBM, and fuses five matmuls + softmax
++ residual into one launch. Grid = (B·T,) — one program per frame,
+pipelined by the Pallas grid machinery.
+
+Backward: custom VJP with plain-JAX recompute (same pattern as the fused
+ConvGRU cell — forward speed from Pallas, gradients from jax.vjp of the
+reference math).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, gamma_ref, out_ref):
+    _, h, w, c = x_ref.shape
+    x = x_ref[0]                                   # (H, W, C)
+    xt = x.reshape(h * w, c)
+
+    # 2×2 max-pooled key/value tokens (BigGAN's memory trick)
+    pooled = x.reshape(h // 2, 2, w // 2, 2, c).max(axis=(1, 3))
+    kv = pooled.reshape((h // 2) * (w // 2), c)
+
+    q = jnp.dot(xt, wq_ref[:], preferred_element_type=jnp.float32)
+    k = jnp.dot(kv, wk_ref[:], preferred_element_type=jnp.float32)
+    v = jnp.dot(kv, wv_ref[:], preferred_element_type=jnp.float32)
+
+    logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(logits, axis=-1)         # f32, stays in VMEM
+
+    o = jnp.dot(attn.astype(x.dtype), v.astype(x.dtype),
+                preferred_element_type=jnp.float32)
+    y = jnp.dot(o.astype(x.dtype), wo_ref[:],
+                preferred_element_type=jnp.float32)
+
+    out = xt.astype(jnp.float32) + gamma_ref[0, 0] * y
+    out_ref[0] = out.astype(out_ref.dtype).reshape(h, w, c)
+
+
+def _spatial_attn_pallas(x: jax.Array, wq, wk, wv, wo, gamma,
+                         interpret: bool = False) -> jax.Array:
+    """x: (N, H, W, C) frames -> same shape (residual included)."""
+    n, h, w, c = x.shape
+    gamma2 = gamma.reshape(1, 1).astype(jnp.float32)
+
+    frame_spec = pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hw, kvn = h * w, (h // 2) * (w // 2)
+    c8, c2 = wq.shape[-1], wv.shape[-1]
+    return pl.pallas_call(
+        _attn_kernel,
+        grid=(n,),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        in_specs=[frame_spec, w_spec, w_spec, w_spec, w_spec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=frame_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * (hw * c * c8 + 2 * kvn * c * (c8 + c2) // 2
+                           + hw * kvn * c8 + hw * kvn * c2 + hw * c2 * c),
+            bytes_accessed=2 * n * hw * c * x.dtype.itemsize,
+            transcendentals=n * hw * kvn,
+        ),
+        interpret=interpret,
+    )(x, wq.astype(x.dtype), wk.astype(x.dtype), wv.astype(x.dtype),
+      wo.astype(x.dtype), gamma2)
+
+
+def _spatial_attn_reference(x, wq, wk, wv, wo, gamma):
+    """Plain-JAX oracle / backward math (matches ops/attention semantics)."""
+    n, h, w, c = x.shape
+    xt = x.reshape(n, h * w, c)
+    pooled = x.reshape(n, h // 2, 2, w // 2, 2, c).max(axis=(2, 4))
+    kv = pooled.reshape(n, -1, c)
+    q = jnp.einsum("nlc,cd->nld", xt, wq.astype(x.dtype))
+    k = jnp.einsum("nmc,cd->nmd", kv, wk.astype(x.dtype))
+    v = jnp.einsum("nmc,cd->nmd", kv, wv.astype(x.dtype))
+    logits = jnp.einsum("nld,nmd->nlm", q, k).astype(jnp.float32)
+    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    o = jnp.einsum("nlm,nmd->nld", attn, v)
+    y = jnp.einsum("nld,dc->nlc", o, wo.astype(x.dtype))
+    out = xt + gamma.astype(x.dtype) * y
+    return out.reshape(n, h, w, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def spatial_attn_fused(x, wq, wk, wv, wo, gamma, interpret=False):
+    """Fused Pallas forward + recompute backward. x: (N, H, W, C); H, W
+    even. Returns x + γ·attention(x) (residual included)."""
+    return _spatial_attn_pallas(x, wq, wk, wv, wo, gamma,
+                                interpret=interpret)
+
+
+def _fwd(x, wq, wk, wv, wo, gamma, interpret):
+    out = _spatial_attn_pallas(x, wq, wk, wv, wo, gamma, interpret=interpret)
+    return out, (x, wq, wk, wv, wo, gamma)
+
+
+def _bwd(interpret, res, g):
+    _, vjp = jax.vjp(_spatial_attn_reference, *res)
+    return vjp(g)
+
+
+spatial_attn_fused.defvjp(_fwd, _bwd)

@@ -25,7 +25,17 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from dvdgan_tpu import kernels
 from dvdgan_tpu.ops import layers
+
+# Global default for the fused-Pallas spatial pass (auto mode only);
+# per-call `use_pallas` always wins. MEASURED (v5e, 64×64×16f ch=32
+# flagship, 2026-08-16): fused kernel 47.7 ms/step vs XLA einsum path
+# 45.6 ms/step — the per-frame kernel grid + recompute backward loses to
+# XLA's batched matmuls at this scale, so the XLA path is the default
+# (SURVEY §7.7: keep whichever wins). The kernel stays maintained and
+# tested for larger attention maps where logits no longer fit cache.
+PALLAS_ENABLED = False
 
 
 def _proj_init(key, c: int) -> dict:
@@ -64,15 +74,33 @@ def _maxpool2x_tokens(x: jax.Array, h: int, w: int) -> jax.Array:
     return x.max(axis=(2, 4)).reshape(n, (h // 2) * (w // 2), c)
 
 
-def separable_attn(p: dict, x: jax.Array) -> jax.Array:
-    """x: (B, T, H, W, C) -> same shape; spatial pass then temporal pass."""
+def separable_attn(p: dict, x: jax.Array,
+                   use_pallas: bool | None = None) -> jax.Array:
+    """x: (B, T, H, W, C) -> same shape; spatial pass then temporal pass.
+
+    The spatial pass (the expensive one: HW × HW/4 logits per frame) runs
+    as the fused Pallas kernel on TPU by default
+    (kernels/attention_spatial.py); the temporal pass is T×T-tiny and stays
+    on the XLA einsum path.
+    """
     b, t, h, w, c = x.shape
+    pool_ok = h % 2 == 0 and w % 2 == 0
+    if use_pallas is None:
+        use_pallas = (PALLAS_ENABLED and pool_ok
+                      and jax.default_backend() not in ("cpu",))
 
     # --- spatial: tokens over HW, batch = B*T --------------------------------
-    xs = x.reshape(b * t, h * w, c)
-    kv = _maxpool2x_tokens(xs, h, w) if (h % 2 == 0 and w % 2 == 0) else xs
-    xs = xs + _attend(p["spatial"], xs, kv)
-    x = xs.reshape(b, t, h, w, c)
+    if use_pallas:
+        sp = p["spatial"]
+        xf = kernels.spatial_attn_fused(
+            x.reshape(b * t, h, w, c), sp["theta"]["w"], sp["phi"]["w"],
+            sp["g"]["w"], sp["out"]["w"], sp["gamma"])
+        x = xf.reshape(b, t, h, w, c)
+    else:
+        xs = x.reshape(b * t, h * w, c)
+        kv = _maxpool2x_tokens(xs, h, w) if pool_ok else xs
+        xs = xs + _attend(p["spatial"], xs, kv)
+        x = xs.reshape(b, t, h, w, c)
 
     # --- temporal: tokens over T, batch = B*H*W ------------------------------
     xt = jnp.moveaxis(x, 1, 3).reshape(b * h * w, t, c)

@@ -20,6 +20,9 @@ from dvdgan_tpu.train.state import TrainConfig
 
 @dataclasses.dataclass
 class Config:
+    # mode
+    mode: str = "train"               # train | sample
+    n_samples: int = 16               # clips to generate in sample mode
     # data
     dataset: str = "synthetic"        # synthetic | frames
     data_path: str = ""

@@ -3,9 +3,23 @@
 Reference parity: same flag surface as [R main.py] (see
 dvdgan_tpu/utils/config.py) plus `--preset` for the five BASELINE configs,
 e.g. `python main.py --preset smoke`.
+
+Modes:
+  --mode train   (default) run the training loop, auto-resuming from the
+                 latest checkpoint under --out_dir (or --pretrained_model N)
+  --mode sample  load the checkpoint and dump --n_samples EMA-G clips as
+                 GIFs + a grid PNG (the reference's test/sample entry,
+                 SURVEY §3.4)
+  --mode eval    FVD (+IS) of EMA-G samples vs the dataset (SURVEY §2.17).
+                 NOTE: without converted pretrained I3D weights
+                 (--data_path to an .npz) the extractor runs at a fixed
+                 random init — numbers are self-consistent for tracking a
+                 run, not comparable to published FVD.
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 
@@ -19,9 +33,35 @@ def main(argv=None):
     print(cfg)
     trainer = Trainer(cfg)
     try:
-        metrics = trainer.train()
-        print("final:", metrics)
-        trainer.dump_samples(step=cfg.total_step)
+        if cfg.mode == "sample":
+            import numpy as np
+            from dvdgan_tpu.utils.media import (save_batch_gifs,
+                                                save_video_grid_png)
+            key = jax.random.PRNGKey(cfg.seed + 777)
+            kz, ky = jax.random.split(key)
+            z = jax.random.normal(kz, (cfg.n_samples, cfg.z_dim))
+            y = jax.random.randint(ky, (cfg.n_samples,), 0, cfg.n_classes)
+            videos = np.asarray(jax.device_get(trainer.sample(z, y)),
+                                np.float32)
+            out = os.path.join(cfg.out_dir, "samples")
+            step = trainer.start_step
+            save_video_grid_png(os.path.join(out, f"eval_{step}_grid.png"),
+                                videos)
+            save_batch_gifs(out, videos, step, max_n=cfg.n_samples)
+            print(f"wrote {cfg.n_samples} samples to {out}")
+        elif cfg.mode == "eval":
+            import json
+            from dvdgan_tpu.eval import (ClassifierProbs, I3DLikeFeatures,
+                                         evaluate_generator)
+            fx = I3DLikeFeatures(seed=0)
+            clf = ClassifierProbs(cfg.n_classes, seed=1)
+            out = evaluate_generator(trainer, fx, n_samples=cfg.n_samples,
+                                     classifier=clf)
+            print(json.dumps(out))
+        else:
+            metrics = trainer.train()
+            print("final:", metrics)
+            trainer.dump_samples(step=cfg.total_step)
     finally:
         trainer.close()
 

@@ -74,3 +74,67 @@ def test_convgru_pallas_path_matches_xla_path_interpret():
 def test_fits_vmem_gate():
     assert kc.fits_vmem(8, 32, 32, 64)      # generator level sizes fit
     assert not kc.fits_vmem(8, 128, 128, 256)  # way over budget
+
+
+# -------------------------------------------------- spatial attention -------
+
+from dvdgan_tpu.kernels import attention_spatial as ka
+
+
+def _rand_attn_inputs(key, n=3, h=8, w=8, c=16, dtype=jnp.float32,
+                      gamma=0.7):
+    ks = jax.random.split(key, 5)
+    x = jax.random.normal(ks[0], (n, h, w, c), dtype)
+    wq = jax.random.normal(ks[1], (c, c // 8), dtype) * 0.3
+    wk = jax.random.normal(ks[2], (c, c // 8), dtype) * 0.3
+    wv = jax.random.normal(ks[3], (c, c // 2), dtype) * 0.3
+    wo = jax.random.normal(ks[4], (c // 2, c), dtype) * 0.3
+    return x, wq, wk, wv, wo, jnp.asarray(gamma, jnp.float32)
+
+
+def test_fused_attn_matches_reference_f32():
+    args = _rand_attn_inputs(jax.random.PRNGKey(0))
+    out_k = ka.spatial_attn_fused(*args, True)
+    out_r = ka._spatial_attn_reference(*args)
+    assert np.allclose(np.asarray(out_k), np.asarray(out_r), atol=1e-4)
+
+
+def test_fused_attn_identity_at_gamma_zero():
+    args = _rand_attn_inputs(jax.random.PRNGKey(1), gamma=0.0)
+    out_k = ka.spatial_attn_fused(*args, True)
+    assert np.allclose(np.asarray(out_k), np.asarray(args[0]), atol=1e-6)
+
+
+def test_fused_attn_gradients_match_reference():
+    args = _rand_attn_inputs(jax.random.PRNGKey(2), n=1, h=4, w=4, c=8)
+
+    def loss_k(*a):
+        return (ka.spatial_attn_fused(*a, True).astype(jnp.float32) ** 2).mean()
+
+    def loss_r(*a):
+        return (ka._spatial_attn_reference(*a).astype(jnp.float32) ** 2).mean()
+
+    gk = jax.grad(loss_k, argnums=tuple(range(6)))(*args)
+    gr = jax.grad(loss_r, argnums=tuple(range(6)))(*args)
+    for a, b in zip(gk, gr):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_separable_attn_pallas_path_matches_xla():
+    import unittest.mock as mock
+    from dvdgan_tpu.ops import attention
+    p = attention.separable_attn_init(jax.random.PRNGKey(3), 16)
+    # nonzero gammas so both passes actually contribute
+    p["spatial"]["gamma"] = jnp.asarray(0.5, jnp.float32)
+    p["temporal"]["gamma"] = jnp.asarray(0.3, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 3, 8, 8, 16))
+    y_xla = attention.separable_attn(p, x, use_pallas=False)
+
+    real = ka.spatial_attn_fused
+
+    def interp(x, wq, wk, wv, wo, gamma, interpret=False):
+        return real(x, wq, wk, wv, wo, gamma, True)
+
+    with mock.patch.object(attention.kernels, "spatial_attn_fused", interp):
+        y_pl = attention.separable_attn(p, x, use_pallas=True)
+    assert np.allclose(np.asarray(y_xla), np.asarray(y_pl), atol=1e-4)
