@@ -1,0 +1,52 @@
+"""Time-axis context parallelism for DT (SURVEY §5.7): the sharded forward
+must match the unsharded dt_apply to float tolerance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dvdgan_tpu.models import DTConfig, discriminator
+from dvdgan_tpu.parallel import make_mesh
+from dvdgan_tpu.parallel.time_shard import make_sharded_dt
+from dvdgan_tpu.ops import resize
+
+CFG = DTConfig(img_size=32, n_frames=8, ch=8, n_classes=5)
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs multi-device")
+def test_time_sharded_dt_matches_unsharded():
+    n_time = 4
+    mesh = make_mesh(shape=(n_time,), axis_names=("time",),
+                     devices=jax.devices()[:n_time])
+    params = discriminator.dt_init(jax.random.PRNGKey(0), CFG)
+    clip = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 32, 32, 3))
+    half = resize.avg_pool_2x_video(clip)
+    y = jnp.array([0, 3])
+
+    want = discriminator.dt_apply(params, half, y, CFG)
+    got = make_sharded_dt(params, CFG, mesh)(half, y)
+    assert np.allclose(np.asarray(want), np.asarray(got), rtol=1e-4,
+                       atol=1e-4)
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs multi-device")
+def test_time_sharded_dt_grads_match():
+    n_time = 2
+    mesh = make_mesh(shape=(n_time,), axis_names=("time",),
+                     devices=jax.devices()[:n_time])
+    params = discriminator.dt_init(jax.random.PRNGKey(0), CFG)
+    clip = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 16, 16, 3))
+    y = jnp.array([2])
+
+    def loss_unsharded(p):
+        return discriminator.dt_apply(p, clip, y, CFG).sum()
+
+    def loss_sharded(p):
+        return make_sharded_dt(p, CFG, mesh)(clip, y).sum()
+
+    g1 = jax.grad(loss_unsharded)(params)
+    g2 = jax.grad(loss_sharded)(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                           atol=1e-4)
