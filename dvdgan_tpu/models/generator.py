@@ -95,23 +95,28 @@ def apply(params: dict, stats: dict, z: jax.Array, y: jax.Array,
     c0 = cfg.ch * cfg.mults[0]
     x = layers.linear(params["seed"], chunks[0])
     x = x.reshape(b, cfg.base_res, cfg.base_res, c0)
-    # broadcast the latent seed over time: the ConvGRU input at level 0
-    x_seq = jnp.broadcast_to(x[:, None], (b, t) + x.shape[1:])
+    # broadcast the latent seed over time, TIME-MAJOR: the internal layout
+    # is (T, B, H, W, C) end-to-end so the per-level ConvGRU scans consume
+    # and produce leading-axis time with NO transpose copies; only the
+    # final video transposes to the public (B, T, ...) layout once.
+    x_seq = jnp.broadcast_to(x[None], (t, b) + x.shape[1:])
 
     attn_idx = (_attn_level_index(cfg)
                 if "attn" in params else -1)
 
     def level_body(lvl, lvl_stats, x_seq, cond, i):
-        cond_bt = jnp.repeat(cond, t, axis=0)                  # (B*T, cond)
-        h_seq = convgru.convgru(lvl["gru"], x_seq)             # (B,T,H,W,C)
+        cond_tb = jnp.tile(cond, (t, 1))                       # (T*B, cond)
+        h_seq = convgru.convgru(lvl["gru"], x_seq,
+                                time_major=True)               # (T,B,H,W,C)
         hw = h_seq.shape[2]
-        h = h_seq.reshape(b * t, hw, hw, h_seq.shape[-1])      # fold time
+        h = h_seq.reshape(t * b, hw, hw, h_seq.shape[-1])      # fold time
         h, s = resblocks.gresblock(
-            lvl["block"], lvl_stats, h, cond_bt,
+            lvl["block"], lvl_stats, h, cond_tb,
             train=train, upsample=True, axis_name=axis_name)
-        x_seq = h.reshape(b, t, 2 * hw, 2 * hw, h.shape[-1])
+        x_seq = h.reshape(t, b, 2 * hw, 2 * hw, h.shape[-1])
         if i == attn_idx:
-            x_seq = attention.separable_attn(params["attn"], x_seq)
+            x_seq = attention.separable_attn(params["attn"], x_seq,
+                                             time_major=True)
         return x_seq, s
 
     if cfg.remat:
@@ -128,12 +133,12 @@ def apply(params: dict, stats: dict, z: jax.Array, y: jax.Array,
         new_stats_levels.append(s)
 
     hw = x_seq.shape[2]
-    h = x_seq.reshape(b * t, hw, hw, x_seq.shape[-1])
+    h = x_seq.reshape(t * b, hw, hw, x_seq.shape[-1])
     h, s_out = norm.bn(params["out_bn"], stats["out_bn"], h,
                        train=train, axis_name=axis_name)
     h = jax.nn.relu(h)
     h = layers.conv2d(params["out_conv"], h)
     video = jnp.tanh(h.astype(jnp.float32)).astype(dtype)
-    video = video.reshape(b, t, hw, hw, 3)
+    video = jnp.moveaxis(video.reshape(t, b, hw, hw, 3), 0, 1)
 
     return video, {"levels": new_stats_levels, "out_bn": s_out}

@@ -74,36 +74,43 @@ def _maxpool2x_tokens(x: jax.Array, h: int, w: int) -> jax.Array:
     return x.max(axis=(2, 4)).reshape(n, (h // 2) * (w // 2), c)
 
 
-def separable_attn(p: dict, x: jax.Array,
-                   use_pallas: bool | None = None) -> jax.Array:
-    """x: (B, T, H, W, C) -> same shape; spatial pass then temporal pass.
+def separable_attn(p: dict, x: jax.Array, use_pallas: bool | None = None,
+                   time_major: bool = False) -> jax.Array:
+    """x: (B, T, H, W, C) — or (T, B, H, W, C) with `time_major=True` —
+    -> same layout; spatial pass then temporal pass.
 
-    The spatial pass (the expensive one: HW × HW/4 logits per frame) runs
-    as the fused Pallas kernel on TPU by default
-    (kernels/attention_spatial.py); the temporal pass is T×T-tiny and stays
-    on the XLA einsum path.
+    The spatial pass folds (time, batch) in either layout identically; only
+    the temporal pass's transposes depend on the layout. `use_pallas`
+    selects the fused spatial kernel (see PALLAS_ENABLED note above).
     """
-    b, t, h, w, c = x.shape
+    if time_major:
+        t, b, h, w, c = x.shape
+    else:
+        b, t, h, w, c = x.shape
+    n = b * t
     pool_ok = h % 2 == 0 and w % 2 == 0
     if use_pallas is None:
         use_pallas = (PALLAS_ENABLED and pool_ok
                       and jax.default_backend() not in ("cpu",))
 
-    # --- spatial: tokens over HW, batch = B*T --------------------------------
+    # --- spatial: tokens over HW, batch = fold(time, batch) ------------------
     if use_pallas:
         sp = p["spatial"]
         xf = kernels.spatial_attn_fused(
-            x.reshape(b * t, h, w, c), sp["theta"]["w"], sp["phi"]["w"],
+            x.reshape(n, h, w, c), sp["theta"]["w"], sp["phi"]["w"],
             sp["g"]["w"], sp["out"]["w"], sp["gamma"])
-        x = xf.reshape(b, t, h, w, c)
+        x = xf.reshape(x.shape)
     else:
-        xs = x.reshape(b * t, h * w, c)
+        xs = x.reshape(n, h * w, c)
         kv = _maxpool2x_tokens(xs, h, w) if pool_ok else xs
         xs = xs + _attend(p["spatial"], xs, kv)
-        x = xs.reshape(b, t, h, w, c)
+        x = xs.reshape(x.shape)
 
     # --- temporal: tokens over T, batch = B*H*W ------------------------------
-    xt = jnp.moveaxis(x, 1, 3).reshape(b * h * w, t, c)
+    time_src = 0 if time_major else 1
+    xt = jnp.moveaxis(x, time_src, 3)            # (B?, H, W, T, C)-ish
+    tm_shape = xt.shape
+    xt = xt.reshape(b * h * w, t, c)
     xt = xt + _attend(p["temporal"], xt, xt)
-    x = jnp.moveaxis(xt.reshape(b, h, w, t, c), 3, 1)
+    x = jnp.moveaxis(xt.reshape(tm_shape), 3, time_src)
     return x

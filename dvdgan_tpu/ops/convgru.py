@@ -76,28 +76,41 @@ def _cell_from_hoisted(p: dict, gx: jax.Array, cx: jax.Array, h: jax.Array
 
 
 def convgru(p: dict, x_seq: jax.Array, h0: jax.Array | None = None,
-            unroll: int = 2, use_pallas: bool | None = None) -> jax.Array:
-    """Unroll over time. x_seq: (B, T, H, W, C) -> hidden seq, same shape.
+            unroll: int = 2, use_pallas: bool | None = None,
+            time_major: bool = False) -> jax.Array:
+    """Unroll over time. x_seq: (B, T, H, W, C) — or (T, B, H, W, C) with
+    `time_major=True` — -> hidden sequence, same layout.
 
     The input-to-gates convs run OUTSIDE the scan over the folded (B·T)
     batch (see module docstring); `lax.scan` then carries only the O(1)
     hidden state. `unroll` trades compiled-code size for less loop overhead
     (the per-step convs at low resolutions are tiny and latency-bound).
 
+    Time-major callers (the generator) avoid the two HBM transpose copies
+    per level that batch-major input needs (scan consumes/produces leading-
+    axis time natively).
+
     `use_pallas` selects the fused single-kernel GRU step
     (kernels/convgru_cell.py) for the scan body: None (default) auto-enables
     it on TPU backends when the state fits VMEM; the plain-XLA path is used
     otherwise (and on CPU, where the kernel would run interpreted).
     """
-    b, t, h, w, c = x_seq.shape
+    if time_major:
+        t, b, h, w, c = x_seq.shape
+    else:
+        b, t, h, w, c = x_seq.shape
     if h0 is None:
         h0 = jnp.zeros((b, h, w, c), x_seq.dtype)
 
-    xf = x_seq.reshape(b * t, h, w, c)
-    gx = layers.conv2d(p["gates_x"], xf).reshape(b, t, h, w, 2 * c)
-    cx = layers.conv2d(p["cand_x"], xf).reshape(b, t, h, w, c)
-    gx = jnp.moveaxis(gx, 1, 0)  # time-major for scan
-    cx = jnp.moveaxis(cx, 1, 0)
+    xf = x_seq.reshape(b * t, h, w, c)  # fold order matches input layout
+    gx = layers.conv2d(p["gates_x"], xf)
+    cx = layers.conv2d(p["cand_x"], xf)
+    if time_major:
+        gx = gx.reshape(t, b, h, w, 2 * c)
+        cx = cx.reshape(t, b, h, w, c)
+    else:
+        gx = jnp.moveaxis(gx.reshape(b, t, h, w, 2 * c), 1, 0)
+        cx = jnp.moveaxis(cx.reshape(b, t, h, w, c), 1, 0)
 
     if use_pallas is None:
         use_pallas = (PALLAS_ENABLED
@@ -120,4 +133,4 @@ def convgru(p: dict, x_seq: jax.Array, h0: jax.Array | None = None,
             return hid, hid
 
     _, hs = jax.lax.scan(step, h0, (gx, cx), unroll=min(unroll, t))
-    return jnp.moveaxis(hs, 0, 1)
+    return hs if time_major else jnp.moveaxis(hs, 0, 1)

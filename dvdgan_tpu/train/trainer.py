@@ -55,9 +55,13 @@ class Trainer:
         self.start_step = 0
         self._maybe_resume()
 
+        # data-parallel over as many devices as divide the global batch
         self.n_devices = jax.device_count()
+        while self.n_devices > 1 and cfg.batch_size % self.n_devices:
+            self.n_devices -= 1
         if self.n_devices > 1:
-            self.mesh = parallel.make_mesh()
+            self.mesh = parallel.make_mesh(
+                devices=jax.devices()[:self.n_devices])
             self.state = parallel.replicate_state(self.mesh, self.state)
             self.step_fn = parallel.make_parallel_train_step(
                 self.g_cfg, self.ds_cfg, self.dt_cfg, self.tc, self.mesh)
