@@ -58,6 +58,7 @@ class Config:
     profile: bool = False        # jax.profiler trace of steps 10..15
     nan_check: bool = False      # jax_debug_nans for the whole run
     remat: bool = False          # rematerialize G levels (long-clip configs)
+    multihost: bool = False      # jax.distributed.initialize() at startup
 
     # ---- derived model configs ------------------------------------------
     def g_config(self) -> GConfig:

@@ -29,6 +29,11 @@ from dvdgan_tpu.utils.config import parse_config
 
 def main(argv=None):
     cfg = parse_config(argv)
+    if cfg.multihost:
+        # pod-scale DP (SURVEY §5.8): one process per host; the mesh then
+        # spans all hosts' devices and XLA routes ICI within a slice and
+        # DCN across slices
+        jax.distributed.initialize()
     print(f"devices: {jax.devices()}")
     print(cfg)
     trainer = Trainer(cfg)

@@ -78,3 +78,23 @@ def test_fvd_discriminates_distributions():
     c = np.ones((16, 4, 16, 16, 3), np.float32)
     fa, fb, fc = fx(a), fx(b), fx(c)
     assert fvd(fa, fb) < fvd(fa, fc)
+
+
+def test_evaluate_generator_end_to_end(tmp_path):
+    """Full eval loop against a tiny Trainer: FVD + IS computed from EMA-G
+    samples vs the synthetic dataset (SURVEY §2.17 harness e2e)."""
+    from dvdgan_tpu.eval import ClassifierProbs, evaluate_generator
+    from dvdgan_tpu.train.trainer import Trainer
+    from dvdgan_tpu.utils.config import Config
+
+    cfg = Config(dataset="synthetic", n_classes=3, img_size=32, n_frames=4,
+                 ch=8, d_ch=8, k_frames=2, batch_size=2, d_steps=1,
+                 total_step=0, bf16=False, out_dir=str(tmp_path / "run"))
+    tr = Trainer(cfg)
+    fx = I3DLikeFeatures(seed=0, widths=(8, 16))
+    clf = ClassifierProbs(3, seed=1, widths=(8, 16))
+    out = evaluate_generator(tr, fx, n_samples=8, batch_size=4,
+                             classifier=clf)
+    tr.close()
+    assert np.isfinite(out["fvd"]) and out["fvd"] >= 0
+    assert 1.0 <= out["is_mean"] <= 3.0 + 1e-6
