@@ -33,11 +33,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM budget gate for one batch-block's working set. Kept well under the
-# ~16MB/core VMEM because the grid pipeline double-buffers the in/out blocks
-# on top of this (empirically: 10MB-per-block compiles single-block but OOMs
-# the Mosaic compiler once grid>1).
-_VMEM_LIMIT_BYTES = 7 * 1024 * 1024
+# VMEM budget gate for one batch-block's working set. Kept WELL under the
+# ~16MB/core VMEM: the grid pipeline double-buffers the in/out blocks on top
+# of this, and Mosaic's scoped stack allocation holds several conv patches
+# live at once (empirically: a 7MB estimate passed bf16 shapes but an f32
+# run OOMed at 16.55M scoped — the estimate undercounts by ~2×, hence 4MB).
+_VMEM_LIMIT_BYTES = 4 * 1024 * 1024
 
 
 def _conv3x3_from_padded(hp: jax.Array, w: jax.Array, b: int, h: int,

@@ -113,8 +113,14 @@ def convgru(p: dict, x_seq: jax.Array, h0: jax.Array | None = None,
         cx = jnp.moveaxis(cx.reshape(b, t, h, w, c), 1, 0)
 
     if use_pallas is None:
+        # bf16-only: the f32 variant both blows Mosaic's scoped-VMEM stack
+        # at generator shapes (measured: 16.55M scoped at a 4MB estimate)
+        # and differs from the XLA conv by MXU default-precision
+        # reassociation; bf16 is the production training dtype and the
+        # only one where the fusion wins.
         use_pallas = (PALLAS_ENABLED
                       and jax.default_backend() not in ("cpu",)
+                      and x_seq.dtype == jnp.bfloat16
                       and kernels.fits_vmem(b, h, w, c,
                                             x_seq.dtype.itemsize))
 

@@ -4,7 +4,7 @@ Reference behavior: torch.save of {G, DS, DT, optims, step} state-dicts
 keyed by step; `--pretrained_model <step>` resumes. Here the checkpoint IS
 the train-state pytree, saved with Orbax — which already includes what the
 reference forgets (SURVEY §3.5 note): optimizer states, EMA params, SN `u`
-vectors, BN running stats, and the data-loader epoch, so restore is bitwise
+vectors and BN running stats, so restore is bitwise
 and sampling continuity at matched seeds holds across preemption (the PRNG
 key is derived from seed+step, so storing `step` pins the stream).
 

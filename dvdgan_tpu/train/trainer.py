@@ -110,7 +110,13 @@ class Trainer:
         if c.nan_check:
             jax.config.update("jax_debug_nans", True)
         total = total_step if total_step is not None else c.total_step
-        data = self.loader.forever()
+        # resume the data stream near where it left off: epoch inferred
+        # from the restored step (the reference loses the loader position
+        # entirely on resume, SURVEY §3.5; exact within-epoch position is
+        # not tracked, but the shuffle sequence continues)
+        batches_per_epoch = max(len(self.dataset) // c.batch_size, 1)
+        data = self.loader.forever(
+            start_epoch=self.start_step // batches_per_epoch)
         metrics = {}
         t_last = time.time()
         dtype = jnp.bfloat16 if c.bf16 else jnp.float32

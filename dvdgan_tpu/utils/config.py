@@ -100,10 +100,12 @@ PRESETS: dict[str, dict] = {
     # 3: Kinetics-600 128×128×12, attention at 32×32, DP on v5e-8
     "kinetics_128": dict(dataset="frames", img_size=128, n_frames=12,
                          n_classes=600, batch_size=64, attn_res=32),
-    # 4: Kinetics-600 256×256 / 48-frame long-clip, pod-scale DP
+    # 4: Kinetics-600 256×256 / 48-frame long-clip, pod-scale DP.
+    # z_dim=112: 256px has 6 upsampling levels → 7 hierarchical-latent
+    # chunks, and 112 = 7·16 (120 is not divisible by 7).
     "kinetics_256_48f": dict(dataset="frames", img_size=256, n_frames=48,
                              n_classes=600, batch_size=512, attn_res=32,
-                             remat=True),
+                             remat=True, z_dim=112),
 }
 
 
