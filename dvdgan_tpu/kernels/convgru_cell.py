@@ -160,8 +160,30 @@ def _fwd(gx, cx, h, wg, wc, interpret):
         (gx, cx, h, wg, wc)
 
 
+def _cell_recompute_bwd(gx, cx, h, wg, wc):
+    """Backward-only recompute: identical math to _cell_reference but the
+    gate tensors stay in the ACTIVATION dtype. The forward's f32 gate math
+    lives inside the Pallas kernel (VMEM, free); this recompute runs under
+    jax.vjp where every f32 intermediate is materialized in HBM — measured
+    ~5 ms/step of f32 add+convert fusions. bf16 gradients through
+    range-bounded sigmoid/tanh are standard mixed-precision practice; the
+    f32 master-weight update path is unchanged."""
+    dn = ("NHWC", "HWIO", "NHWC")
+    gh = jax.lax.conv_general_dilated(h, wg.astype(h.dtype), (1, 1), "SAME",
+                                      dimension_numbers=dn)
+    rz = jax.nn.sigmoid(gx + gh)
+    r, z = jnp.split(rz, 2, axis=-1)
+    rh = r * h
+    ch = jax.lax.conv_general_dilated(rh, wc.astype(h.dtype), (1, 1), "SAME",
+                                      dimension_numbers=dn)
+    cand = jnp.tanh(cx + ch)
+    one = jnp.ones((), h.dtype)
+    out = (one - z) * h + z * cand
+    return out.astype(h.dtype)
+
+
 def _bwd(interpret, res, g):
-    _, vjp = jax.vjp(_cell_reference, *res)
+    _, vjp = jax.vjp(_cell_recompute_bwd, *res)
     return vjp(g)
 
 
