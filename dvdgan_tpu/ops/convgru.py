@@ -125,18 +125,18 @@ def convgru(p: dict, x_seq: jax.Array, h0: jax.Array | None = None,
                                             x_seq.dtype.itemsize))
 
     if use_pallas:
+        # ONE kernel for the whole unroll: grid over (batch-blocks, T) with
+        # the recurrence carried in VMEM scratch — no scan, no per-step
+        # kernel launches (kernels/convgru_seq.py)
         wg = p["gates_h"]["w"].astype(x_seq.dtype)
         wc = p["cand_h"]["w"].astype(x_seq.dtype)
+        hs = kernels.gru_sequence_fused(gx, cx, h0, wg, wc)
+        return hs if time_major else jnp.moveaxis(hs, 0, 1)
 
-        def step(hid, inputs):
-            gx_t, cx_t = inputs
-            hid = kernels.gru_cell_fused(gx_t, cx_t, hid, wg, wc)
-            return hid, hid
-    else:
-        def step(hid, inputs):
-            gx_t, cx_t = inputs
-            hid = _cell_from_hoisted(p, gx_t, cx_t, hid)
-            return hid, hid
+    def step(hid, inputs):
+        gx_t, cx_t = inputs
+        hid = _cell_from_hoisted(p, gx_t, cx_t, hid)
+        return hid, hid
 
     _, hs = jax.lax.scan(step, h0, (gx, cx), unroll=min(unroll, t))
     return hs if time_major else jnp.moveaxis(hs, 0, 1)

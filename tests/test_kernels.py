@@ -52,22 +52,30 @@ def test_fused_cell_gradients_match_reference():
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
-def test_convgru_pallas_path_matches_xla_path_interpret():
-    """Full scan equality: the fused-kernel scan (interpret mode) must equal
-    the XLA path bit-for-bit-ish in f32."""
-    import unittest.mock as mock
+def test_cell_kernel_scan_matches_xla_path_interpret():
+    """Scanning the single-step cell kernel (interpret mode) equals the XLA
+    path in f32 (the sequence kernel path is covered further below)."""
     c = 8
     p = convgru.convgru_init(jax.random.PRNGKey(3), c)
     x = jax.random.normal(jax.random.PRNGKey(4), (2, 5, 6, 6, c))
     y_xla = convgru.convgru(p, x, use_pallas=False)
 
-    real = kc.gru_cell_fused
+    from dvdgan_tpu.ops import layers as L
+    wg = p["gates_h"]["w"]
+    wc = p["cand_h"]["w"]
+    xf = x.reshape(10, 6, 6, c)
+    gx = L.conv2d(p["gates_x"], xf).reshape(2, 5, 6, 6, 2 * c)
+    cx = L.conv2d(p["cand_x"], xf).reshape(2, 5, 6, 6, c)
 
-    def interp(gx, cx, h, wg, wc, interpret=False):
-        return real(gx, cx, h, wg, wc, True)
+    def step(hid, inp):
+        g, cxt = inp
+        hid = kc.gru_cell_fused(g, cxt, hid, wg, wc, True)
+        return hid, hid
 
-    with mock.patch.object(convgru.kernels, "gru_cell_fused", interp):
-        y_pl = convgru.convgru(p, x, use_pallas=True)
+    h0 = jnp.zeros((2, 6, 6, c))
+    _, hs = jax.lax.scan(step, h0, (jnp.moveaxis(gx, 1, 0),
+                                    jnp.moveaxis(cx, 1, 0)))
+    y_pl = jnp.moveaxis(hs, 0, 1)
     assert np.allclose(np.asarray(y_xla), np.asarray(y_pl), atol=1e-5)
 
 
@@ -138,3 +146,61 @@ def test_separable_attn_pallas_path_matches_xla():
     with mock.patch.object(attention.kernels, "spatial_attn_fused", interp):
         y_pl = attention.separable_attn(p, x, use_pallas=True)
     assert np.allclose(np.asarray(y_xla), np.asarray(y_pl), atol=1e-4)
+
+
+# ------------------------------------------------- whole-sequence GRU -------
+
+from dvdgan_tpu.kernels import convgru_seq as kseq
+
+
+def _rand_seq_inputs(key, t=4, b=2, h=6, w=6, c=8, dtype=jnp.float32):
+    ks = jax.random.split(key, 5)
+    gx = jax.random.normal(ks[0], (t, b, h, w, 2 * c), dtype)
+    cx = jax.random.normal(ks[1], (t, b, h, w, c), dtype)
+    h0 = jax.random.normal(ks[2], (b, h, w, c), dtype)
+    wg = jax.random.normal(ks[3], (3, 3, c, 2 * c), dtype) * 0.1
+    wc = jax.random.normal(ks[4], (3, 3, c, c), dtype) * 0.1
+    return gx, cx, h0, wg, wc
+
+
+def test_seq_kernel_matches_reference_f32():
+    args = _rand_seq_inputs(jax.random.PRNGKey(0))
+    hs = kseq.gru_sequence_fused(*args, True)
+    ref = kseq._seq_reference(*args)
+    assert hs.shape == ref.shape
+    assert np.allclose(np.asarray(hs), np.asarray(ref), atol=1e-5)
+
+
+def test_seq_kernel_gradients_close_to_reference():
+    """The backward recomputes gates in the activation dtype from the saved
+    hidden sequence; in f32 that equals exact BPTT through the scan."""
+    args = _rand_seq_inputs(jax.random.PRNGKey(1), t=3, b=1, h=4, w=4, c=4)
+
+    def loss_k(*a):
+        return (kseq.gru_sequence_fused(*a, True)
+                .astype(jnp.float32) ** 2).mean()
+
+    def loss_r(*a):
+        return (kseq._seq_reference(*a).astype(jnp.float32) ** 2).mean()
+
+    gk = jax.grad(loss_k, argnums=tuple(range(5)))(*args)
+    gr = jax.grad(loss_r, argnums=tuple(range(5)))(*args)
+    for a, b in zip(gk, gr):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_convgru_seq_path_matches_xla_scan_interpret():
+    import unittest.mock as mock
+    c = 8
+    p = convgru.convgru_init(jax.random.PRNGKey(3), c)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 5, 6, 6, c))
+    y_xla = convgru.convgru(p, x, use_pallas=False)
+
+    real = kseq.gru_sequence_fused
+
+    def interp(gx, cx, h0, wg, wc, interpret=False):
+        return real(gx, cx, h0, wg, wc, True)
+
+    with mock.patch.object(convgru.kernels, "gru_sequence_fused", interp):
+        y_pl = convgru.convgru(p, x, use_pallas=True)
+    assert np.allclose(np.asarray(y_xla), np.asarray(y_pl), atol=1e-5)
