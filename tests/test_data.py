@@ -83,3 +83,20 @@ def test_media_grid_and_denorm():
     assert u.dtype == np.uint8 and u.min() >= 0
     g = video_grid(u)
     assert g.shape == (2 * 6 + 2, 3 * 6 + 2, 3)
+
+
+def test_frame_folder_image_files(tmp_path):
+    """PIL decode path: frame dirs of PNGs (the UCF-101 extracted-frame
+    layout) through the native clip assembler."""
+    from PIL import Image
+    vdir = tmp_path / "classA" / "vid0"
+    vdir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        arr = rng.randint(0, 256, (24, 32, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(vdir / f"frame_{i:03d}.png")
+    ds = FrameFolderDataset(str(tmp_path), n_frames=4, img_size=16)
+    clip, label = ds[0]
+    assert clip.shape == (4, 16, 16, 3) and label == 0
+    assert clip.min() >= -1.0 and clip.max() <= 1.0
+    assert clip.std() > 0.1  # actual image content, not zeros

@@ -97,3 +97,22 @@ def test_sn_covers_all_model_kernels():
                    if p.rsplit("/", 1)[-1] in ("w", "emb")]
         assert set(kernels) == set(u.keys())
         assert len(kernels) > 0
+
+
+def test_remat_gradients_match_nonremat():
+    """GConfig.remat must be a pure memory/VJP-schedule change: gradients
+    bitwise-close to the non-remat trace (SURVEY §5.7)."""
+    import dataclasses
+    cfg_r = dataclasses.replace(G_CFG, remat=True)
+    p, stats = generator.init(key(0), G_CFG)
+    z = jax.random.normal(key(1), (2, G_CFG.z_dim))
+    y = jnp.array([0, 3])
+
+    def loss(p, c):
+        v, _ = generator.apply(p, stats, z, y, c, train=True)
+        return (v ** 2).mean()
+
+    g1 = jax.grad(lambda p: loss(p, G_CFG))(p)
+    g2 = jax.grad(lambda p: loss(p, cfg_r))(p)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
