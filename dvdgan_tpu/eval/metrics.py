@@ -63,7 +63,6 @@ def evaluate_generator(trainer, extractor: Callable, n_samples: int = 256,
     """End-to-end eval loop: EMA-G samples vs the trainer's dataset.
     Returns {"fvd": ..., ["is_mean","is_std"]}."""
     import jax
-    import jax.numpy as jnp
 
     ds = trainer.dataset
     n = min(n_samples, len(ds))

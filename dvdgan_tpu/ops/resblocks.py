@@ -22,7 +22,6 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 from dvdgan_tpu.ops import layers, norm, resize
 

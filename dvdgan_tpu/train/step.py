@@ -26,7 +26,7 @@ reference, where any train-mode forward mutates — ops/spectral_norm.py):
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Iterator
 
 import jax
 

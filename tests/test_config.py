@@ -1,7 +1,5 @@
 """Config/CLI parity tests (SURVEY.md §2.13, §5.6)."""
 
-import pytest
-
 from dvdgan_tpu.utils.config import PRESETS, Config, parse_config
 
 
