@@ -27,7 +27,7 @@ REF_V100_STEPS_PER_SEC_ESTIMATE = 1.0
 
 BATCH_PER_CHIP = 8
 WARMUP = 1
-ITERS = 10
+ITERS = 20   # ≥20 chained steps amortize the tunnel's per-dispatch jitter
 
 
 def main():
