@@ -26,13 +26,19 @@ import numpy as np
 REF_V100_STEPS_PER_SEC_ESTIMATE = 1.0
 
 BATCH_PER_CHIP = 8
-WARMUP = 1
-ITERS = 20   # ≥20 chained steps amortize the tunnel's per-dispatch jitter
+STEPS_PER_CALL = 10   # lax.scan of train steps inside ONE executable:
+#                       amortizes the axon tunnel's ~20-30 ms per-execute
+#                       dispatch floor, which otherwise dominates and hides
+#                       the actual device step time
+CALLS = 4
 
 
 def main():
+    import functools
+
     from dvdgan_tpu.models import DSConfig, DTConfig, GConfig
-    from dvdgan_tpu.train import TrainConfig, create, make_train_step
+    from dvdgan_tpu.train import TrainConfig, create
+    from dvdgan_tpu.train import step as step_mod
 
     g_cfg = GConfig(img_size=64, n_frames=16, ch=32, z_dim=120,
                     n_classes=101, emb_dim=120, attn_res=32)
@@ -50,20 +56,30 @@ def main():
         rng.randn(BATCH_PER_CHIP, 16, 64, 64, 3), jnp.bfloat16)
     y = jnp.asarray(rng.randint(0, 101, BATCH_PER_CHIP), jnp.int32)
 
-    step = make_train_step(g_cfg, ds_cfg, dt_cfg, tc)
-    for i in range(WARMUP):
-        state, metrics = step(state, real, y, jax.random.PRNGKey(i))
+    one_step = functools.partial(step_mod.train_step, g_cfg=g_cfg,
+                                 ds_cfg=ds_cfg, dt_cfg=dt_cfg, tc=tc)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi_step(state, real, y, key):
+        def body(st, i):
+            st, m = one_step(st, real, y, jax.random.fold_in(key, i))
+            return st, m["g_loss"]
+        return jax.lax.scan(body, state, jnp.arange(STEPS_PER_CALL))
+
+    state, losses = multi_step(state, real, y, jax.random.PRNGKey(0))
     # NOTE: fetch a scalar to the host for a true barrier —
     # block_until_ready alone does not synchronize through the axon
     # remote-execution tunnel (measured: returns in ~0.1 ms while the
     # device is still running).
-    float(metrics["g_loss"])
+    float(losses[-1])
 
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        state, metrics = step(state, real, y, jax.random.PRNGKey(100 + i))
-    float(metrics["g_loss"])
+    for i in range(CALLS):
+        state, losses = multi_step(state, real, y,
+                                   jax.random.PRNGKey(100 + i))
+    float(losses[-1])
     dt = time.perf_counter() - t0
+    ITERS = CALLS * STEPS_PER_CALL
 
     sps = ITERS / dt
     print(json.dumps({

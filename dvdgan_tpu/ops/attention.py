@@ -29,12 +29,18 @@ from dvdgan_tpu import kernels
 from dvdgan_tpu.ops import layers
 
 # Global default for the fused-Pallas spatial pass (auto mode only);
-# per-call `use_pallas` always wins. MEASURED (v5e, 64×64×16f ch=32
-# flagship, 2026-08-16): fused kernel 47.7 ms/step vs XLA einsum path
-# 45.6 ms/step — the per-frame kernel grid + recompute backward loses to
-# XLA's batched matmuls at this scale, so the XLA path is the default
-# (SURVEY §7.7: keep whichever wins). The kernel stays maintained and
-# tested for larger attention maps where logits no longer fit cache.
+# per-call `use_pallas` always wins. MEASURED (v5e, 2026-08-16):
+#   * ISOLATED op (in-jit chained loops, 32×32 c=64 BT=128): the fused
+#     kernel wins — fwd 0.61 ms vs 0.81 ms XLA; fwd+bwd 1.55 vs 2.29 ms
+#     (logits stay VMEM-resident);
+#   * IN the full train step (scan-amortized bench, 3 runs each): the XLA
+#     path wins — 22.2 vs 21.4 steps/s — because the pallas_call is an
+#     opaque fusion boundary: XLA can fuse the attention einsums into the
+#     surrounding GResBlock producers/consumers, which outweighs the
+#     kernel's internal fusion at this size.
+# Default follows the in-context number (SURVEY §7.7 keep-whichever-wins);
+# the kernel remains the right choice for larger maps (128²+ tokens) where
+# the logits tensor dominates — re-measure there before flipping.
 PALLAS_ENABLED = False
 
 
