@@ -118,6 +118,9 @@ class Trainer:
         data = self.loader.forever(
             start_epoch=self.start_step // batches_per_epoch)
         metrics = {}
+        lagged = None   # metrics from log_step ago: fetching them is free
+        #                 (that step already finished) so the log-step sync
+        #                 never stalls the device pipeline
         t_last = time.time()
         dtype = jnp.bfloat16 if c.bf16 else jnp.float32
 
@@ -139,13 +142,16 @@ class Trainer:
 
             step = i + 1
             if step % c.log_step == 0:
-                m = {k: float(v) for k, v in metrics.items()}
+                report_step = step - c.log_step if lagged is not None else step
+                report = lagged if lagged is not None else metrics
+                m = {k: float(v) for k, v in report.items()}
                 dt = time.time() - t_last
                 sps = c.log_step / dt if dt > 0 else 0.0
                 t_last = time.time()
-                self.writer.scalars(m, step)
+                self.writer.scalars(m, report_step)
                 self.writer.scalar("steps_per_sec", sps, step)
-                print(step_line(step, m, sps))
+                print(step_line(report_step, m, sps))
+                lagged = metrics
             if c.sample_step and step % c.sample_step == 0:
                 self.dump_samples(step)
             if c.model_save_step and step % c.model_save_step == 0:
