@@ -175,7 +175,20 @@ def _fwd(gx, cx, h0, wg, wc, interpret):
     return hs, (gx, cx, h0, wg, wc, hs)
 
 
+# Switch for the native reverse-time Pallas backward (convgru_bwd.py).
+# MEASURED (v5e flagship scan-bench, 2 runs each, 2026-08-16): Pallas bwd
+# 21.9-22.0 steps/s vs plain-JAX reverse scan 22.2-22.4 — parity-to-slightly-
+# behind at 16 frames (the kernel's rh/da HBM round-trips for the weight-grad
+# convs offset the fused carry), so the scan stays default; re-measure for
+# 48-frame configs before flipping.
+PALLAS_BWD = False
+
+
 def _bwd(interpret, res, g):
+    if (PALLAS_BWD and not interpret
+            and jax.default_backend() not in ("cpu",)):
+        from dvdgan_tpu.kernels import convgru_bwd
+        return convgru_bwd.gru_sequence_bwd(*res, g)
     return _seq_bwd_scan(*res, g)
 
 

@@ -204,3 +204,34 @@ def test_convgru_seq_path_matches_xla_scan_interpret():
     with mock.patch.object(convgru.kernels, "gru_sequence_fused", interp):
         y_pl = convgru.convgru(p, x, use_pallas=True)
     assert np.allclose(np.asarray(y_xla), np.asarray(y_pl), atol=1e-5)
+
+
+# ---------------------------------------------- reverse-time BPTT kernel ----
+
+from dvdgan_tpu.kernels import convgru_bwd as kbwd
+
+
+def test_bwd_kernel_matches_autodiff():
+    """gru_sequence_bwd (interpret) == jax.vjp of the sequence oracle."""
+    args = _rand_seq_inputs(jax.random.PRNGKey(5), t=3, b=2, h=6, w=6, c=8)
+    gx, cx, h0, wg, wc = args
+    hs = kseq._seq_reference(*args)
+    g = jax.random.normal(jax.random.PRNGKey(6), hs.shape)
+
+    _, vjp = jax.vjp(kseq._seq_reference, *args)
+    want = vjp(g)
+    got = kbwd.gru_sequence_bwd(gx, cx, h0, wg, wc, hs, g, interpret=True)
+    for a, b in zip(got, want):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_bwd_scan_matches_autodiff():
+    """_seq_bwd_scan (the default backward) == jax.vjp of the oracle."""
+    args = _rand_seq_inputs(jax.random.PRNGKey(7), t=4, b=1, h=4, w=4, c=4)
+    hs = kseq._seq_reference(*args)
+    g = jax.random.normal(jax.random.PRNGKey(8), hs.shape)
+    _, vjp = jax.vjp(kseq._seq_reference, *args)
+    want = vjp(g)
+    got = kseq._seq_bwd_scan(*args, hs, g)
+    for a, b in zip(got, want):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
