@@ -175,17 +175,26 @@ def _fwd(gx, cx, h0, wg, wc, interpret):
     return hs, (gx, cx, h0, wg, wc, hs)
 
 
-# Switch for the native reverse-time Pallas backward (convgru_bwd.py).
-# MEASURED (v5e flagship scan-bench, 2 runs each, 2026-08-16): Pallas bwd
-# 21.9-22.0 steps/s vs plain-JAX reverse scan 22.2-22.4 — parity-to-slightly-
-# behind at 16 frames (the kernel's rh/da HBM round-trips for the weight-grad
-# convs offset the fused carry), so the scan stays default; re-measure for
-# 48-frame configs before flipping.
-PALLAS_BWD = False
+# Selection of the native reverse-time Pallas backward (convgru_bwd.py).
+# MEASURED (v5e, 2026-08-16):
+#   * T=16 flagship (full-step scan-bench, 2 runs each): Pallas bwd
+#     21.9-22.0 steps/s vs plain-JAX reverse scan 22.2-22.4 — the kernel's
+#     rh/da HBM round-trips for the weight-grad convs offset the fused
+#     carry at short T;
+#   * T=48 (in-jit op A/B, 32×32 c=64): Pallas bwd 3.64 ms vs scan 4.62 ms
+#     fwd+bwd — 21% faster once the reverse scan's per-step overhead
+#     dominates.
+# Hence: kernel for long clips, scan otherwise. None = auto by this rule;
+# True/False force.
+PALLAS_BWD: bool | None = None
+_PALLAS_BWD_MIN_T = 32
 
 
 def _bwd(interpret, res, g):
-    if (PALLAS_BWD and not interpret
+    t = res[0].shape[0]
+    use_kernel = (PALLAS_BWD if PALLAS_BWD is not None
+                  else t >= _PALLAS_BWD_MIN_T)
+    if (use_kernel and not interpret
             and jax.default_backend() not in ("cpu",)):
         from dvdgan_tpu.kernels import convgru_bwd
         return convgru_bwd.gru_sequence_bwd(*res, g)
