@@ -1,7 +1,9 @@
 """Evaluation: FVD / Inception Score with pluggable feature extractors —
 SURVEY.md §2.17."""
 
-from dvdgan_tpu.eval.features import ClassifierProbs, I3DLikeFeatures  # noqa: F401
+from dvdgan_tpu.eval import i3d  # noqa: F401
+from dvdgan_tpu.eval.features import (  # noqa: F401
+    ClassifierProbs, I3DFeatures, I3DLikeFeatures)
 from dvdgan_tpu.eval.frechet import (  # noqa: F401
     frechet_distance, frechet_from_features, statistics)
 from dvdgan_tpu.eval.metrics import (  # noqa: F401

@@ -5,12 +5,16 @@ weights need the network, which this sandbox does not have — so the harness
 is PLUGGABLE: any callable (B, T, H, W, 3)[-1,1] -> (B, D) works.
 
 Provided extractors:
-  * `I3DLikeFeatures` — an I3D-topology 3-D conv stack (inflated-inception-
-    ish widths) running on-device under jit. With `weights_npz` it loads
-    converted pretrained weights (layer-name keyed); WITHOUT weights it runs
-    at a fixed random init — random deep conv features are a known-usable
-    stand-in for relative/FVD-trend comparisons within one extractor
-    instance, but its absolute numbers are NOT comparable to published FVD.
+  * `I3DFeatures` — the GENUINE Inflated Inception-v1 3-D topology
+    (`dvdgan_tpu.eval.i3d`): named units, inception branches, Mixed_5c
+    avg-pool + Kinetics-400 logits head. With `weights_npz` (produced by
+    tools/convert_i3d_weights.py, name-mapped + shape-validated) its output
+    is the published-FVD embedding; without weights it runs at a fixed
+    random init and `self.pretrained` is False — callers must label such
+    numbers as NOT published-comparable.
+  * `I3DLikeFeatures` — a light 4-layer 3-D conv stack; CHEAP stand-in for
+    tests and in-training trend tracking only. It cannot hold real I3D
+    weights and its numbers are only self-consistent within one instance.
   * `ClassifierProbs` — softmax class probabilities from a provided or
     random-init classifier, feeding Inception Score.
 """
@@ -23,7 +27,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dvdgan_tpu.eval import i3d
 from dvdgan_tpu.ops import layers
+
+
+class I3DFeatures:
+    """Real-I3D feature extractor: (B, T, H, W, 3)[-1,1] -> (B, D).
+
+    feature: "logits" (400-d, the published-FVD embedding) or "avgpool"
+    (1024-d pre-logits). `pretrained` tells callers whether the numbers are
+    published-comparable (True only when converted weights were loaded).
+    """
+
+    def __init__(self, weights_npz: Optional[str] = None, seed: int = 0,
+                 feature: str = "logits", resize: Optional[int] = 224):
+        if feature not in i3d.FEATURE_DIMS:
+            raise ValueError(f"feature must be one of {list(i3d.FEATURE_DIMS)}")
+        self.pretrained = weights_npz is not None
+        self.params = (i3d.load_npz(weights_npz) if weights_npz
+                       else i3d.init(jax.random.PRNGKey(seed)))
+        self.feature = feature
+        self.resize = resize
+
+    def __call__(self, video) -> np.ndarray:
+        feats = i3d.apply(self.params, jnp.asarray(video, jnp.float32),
+                          feature=self.feature, resize=self.resize)
+        return np.asarray(jax.device_get(feats), np.float64)
 
 
 def _i3d_like_init(key: jax.Array, widths=(64, 128, 256, 512)) -> dict:
@@ -47,19 +76,8 @@ def _i3d_like_apply(params: dict, video: jax.Array) -> jax.Array:
 
 
 class I3DLikeFeatures:
-    def __init__(self, seed: int = 0, weights_npz: Optional[str] = None,
-                 widths=(64, 128, 256, 512)):
-        if weights_npz is not None:
-            loaded = np.load(weights_npz)
-            blocks = []
-            i = 0
-            while f"block{i}_w" in loaded:
-                blocks.append({"w": jnp.asarray(loaded[f"block{i}_w"]),
-                               "b": jnp.asarray(loaded[f"block{i}_b"])})
-                i += 1
-            self.params = {"blocks": blocks}
-        else:
-            self.params = _i3d_like_init(jax.random.PRNGKey(seed), widths)
+    def __init__(self, seed: int = 0, widths=(64, 128, 256, 512)):
+        self.params = _i3d_like_init(jax.random.PRNGKey(seed), widths)
         self._apply = jax.jit(_i3d_like_apply)
 
     def __call__(self, video) -> np.ndarray:

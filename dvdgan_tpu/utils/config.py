@@ -21,8 +21,12 @@ from dvdgan_tpu.train.state import TrainConfig
 @dataclasses.dataclass
 class Config:
     # mode
-    mode: str = "train"               # train | sample
+    mode: str = "train"               # train | sample | eval
     n_samples: int = 16               # clips to generate in sample mode
+    i3d_weights: str = ""             # converted I3D npz for published FVD
+    #                                   (tools/convert_i3d_weights.py);
+    #                                   empty = random-init extractor,
+    #                                   labeled non-comparable in the output
     # data
     dataset: str = "synthetic"        # synthetic | frames
     data_path: str = ""

@@ -10,11 +10,12 @@ Modes:
   --mode sample  load the checkpoint and dump --n_samples EMA-G clips as
                  GIFs + a grid PNG (the reference's test/sample entry,
                  SURVEY §3.4)
-  --mode eval    FVD (+IS) of EMA-G samples vs the dataset (SURVEY §2.17).
-                 NOTE: without converted pretrained I3D weights
-                 (--data_path to an .npz) the extractor runs at a fixed
-                 random init — numbers are self-consistent for tracking a
-                 run, not comparable to published FVD.
+  --mode eval    FVD (+IS) of EMA-G samples vs the dataset (SURVEY §2.17),
+                 using the genuine I3D topology (eval/i3d.py). Pass
+                 --i3d_weights <npz> (from tools/convert_i3d_weights.py)
+                 for published-comparable FVD; without weights the
+                 extractor runs at a fixed random init and the output JSON
+                 carries "fvd_published_comparable": false.
 """
 
 from __future__ import annotations
@@ -56,12 +57,15 @@ def main(argv=None):
             print(f"wrote {cfg.n_samples} samples to {out}")
         elif cfg.mode == "eval":
             import json
-            from dvdgan_tpu.eval import (ClassifierProbs, I3DLikeFeatures,
+            from dvdgan_tpu.eval import (ClassifierProbs, I3DFeatures,
                                          evaluate_generator)
-            fx = I3DLikeFeatures(seed=0)
+            fx = I3DFeatures(weights_npz=cfg.i3d_weights or None, seed=0)
             clf = ClassifierProbs(cfg.n_classes, seed=1)
             out = evaluate_generator(trainer, fx, n_samples=cfg.n_samples,
                                      classifier=clf)
+            out["extractor"] = ("i3d-kinetics400" if fx.pretrained
+                                else "i3d-random-init")
+            out["fvd_published_comparable"] = fx.pretrained
             print(json.dumps(out))
         else:
             metrics = trainer.train()

@@ -54,6 +54,21 @@ def test_i3d_like_extractor_shapes():
     assert np.array_equal(f, fx(v))
 
 
+def test_i3d_real_topology_random_init():
+    """The genuine I3D net runs at random init; pretrained flag is honest."""
+    from dvdgan_tpu.eval import I3DFeatures
+
+    fx = I3DFeatures(seed=0, resize=None)
+    assert not fx.pretrained
+    v = np.random.RandomState(0).rand(2, 8, 32, 32, 3).astype(np.float32)
+    f = fx(v)
+    assert f.shape == (2, 400) and np.isfinite(f).all()
+
+    fx2 = I3DFeatures(seed=0, feature="avgpool", resize=None)
+    f2 = fx2(v)
+    assert f2.shape == (2, 1024) and np.isfinite(f2).all()
+
+
 def test_extract_features_batching():
     fx = I3DLikeFeatures(seed=0, widths=(8, 16))
     clips = [np.zeros((4, 16, 16, 3), np.float32) for _ in range(5)]

@@ -1,35 +1,101 @@
-"""Weight-converter round-trip: a torch-layout conv3d stack converts to the
-npz layout I3DLikeFeatures loads, and the loaded net runs."""
+"""I3D weight-converter golden tests (VERDICT r1 missing #2): conversion
+maps BY MODULE NAME onto the canonical topology, validates shapes, and the
+loaded network runs. Fake checkpoints are synthesized from the topology
+spec itself, so any drift between converter and network fails here."""
 
 import numpy as np
+import pytest
 
-from dvdgan_tpu.eval import I3DLikeFeatures
-from tools.convert_i3d_weights import convert
+from dvdgan_tpu.eval import I3DFeatures, i3d
+from tools.convert_i3d_weights import _unit_prefixes, convert
 
 
-def test_convert_and_load(tmp_path):
-    rng = np.random.RandomState(0)
-    widths = [(3, 8), (8, 16)]
+def _fake_torch_sd(rng):
+    """A pytorch-i3d-style state_dict with correct names/shapes."""
     sd = {}
-    for i, (cin, cout) in enumerate(widths):
-        sd[f"conv{i}.weight"] = rng.randn(cout, cin, 3, 3, 3).astype(np.float32)
-        sd[f"conv{i}.bias"] = rng.randn(cout).astype(np.float32)
-    out = str(tmp_path / "w.npz")
-    assert convert(sd, out) == 2
+    for key, shape in i3d.param_shapes().items():
+        unit, torch_prefix, _ = _unit_prefixes(key)
+        if key.endswith("/w"):
+            # DHWIO -> torch OIDHW
+            w = rng.randn(*shape).astype(np.float32) * 0.05
+            sd[f"{torch_prefix}.conv3d.weight"] = w.transpose(4, 3, 0, 1, 2)
+        elif key == "logits/b":
+            sd["logits.conv3d.bias"] = rng.randn(*shape).astype(np.float32)
+        else:
+            t = {"scale": "weight", "offset": "bias", "mean": "running_mean",
+                 "var": "running_var"}[key.split("/")[-1]]
+            v = rng.rand(*shape).astype(np.float32)
+            if t == "running_var":
+                v += 0.5
+            sd[f"{torch_prefix}.bn.{t}"] = v
+    return sd
 
-    fx = I3DLikeFeatures(weights_npz=out)
-    assert len(fx.params["blocks"]) == 2
-    assert fx.params["blocks"][0]["w"].shape == (3, 3, 3, 3, 8)
-    v = rng.randn(2, 4, 16, 16, 3).astype(np.float32)
+
+def test_param_count_is_real_i3d():
+    # Inflated Inception-v1 + Kinetics-400 logits: ~12.7M params. A
+    # sequential stack (the r1 bug) is nowhere near this.
+    n = i3d.n_params()
+    assert 12_000_000 < n < 13_500_000, n
+
+
+def test_convert_torch_style_and_run(tmp_path):
+    rng = np.random.RandomState(0)
+    sd = _fake_torch_sd(rng)
+    out = str(tmp_path / "i3d.npz")
+    n = convert(sd, out)
+    assert n == len(i3d.param_shapes())
+
+    fx = I3DFeatures(weights_npz=out, resize=None)
+    assert fx.pretrained
+    v = rng.rand(2, 8, 32, 32, 3).astype(np.float32) * 2 - 1
     f = fx(v)
-    assert f.shape == (2, 16) and np.isfinite(f).all()
+    assert f.shape == (2, 400) and np.isfinite(f).all()
 
-
-def test_convert_handles_bias_free_convs(tmp_path):
-    rng = np.random.RandomState(1)
-    sd = {"a.weight": rng.randn(4, 3, 3, 3, 3).astype(np.float32),
-          "b.weight": rng.randn(8, 4, 3, 3, 3).astype(np.float32)}
-    out = str(tmp_path / "w2.npz")
-    assert convert(sd, out) == 2
+    # name-mapping (not encounter order): kernel lands under its own unit
     loaded = np.load(out)
-    assert np.allclose(loaded["block0_b"], 0.0)
+    want = sd["Mixed_4d.b1b.conv3d.weight"].transpose(2, 3, 4, 1, 0)
+    assert np.array_equal(loaded["Mixed_4d/b1b/w"], want)
+
+
+def test_convert_tf_style_defaults_gamma(tmp_path):
+    """TF I3D checkpoints have no BN gamma (scale=False) and DHWIO kernels
+    under scoped names; conversion fills scale=1 and maps by path."""
+    rng = np.random.RandomState(1)
+    sd = {}
+    for key, shape in i3d.param_shapes().items():
+        _, _, tf_path = _unit_prefixes(key)
+        scope = f"RGB/inception_i3d/{tf_path}"
+        leaf = key.split("/")[-1]
+        if key.endswith("/w"):
+            sd[f"{scope}/conv_3d/w"] = rng.randn(*shape).astype(np.float32) * 0.05
+        elif key == "logits/b":
+            sd[f"{scope}/conv_3d/b"] = rng.randn(*shape).astype(np.float32)
+        elif leaf in ("offset", "mean", "var"):
+            t = {"offset": "beta", "mean": "moving_mean",
+                 "var": "moving_variance"}[leaf]
+            sd[f"{scope}/batch_norm/{t}"] = rng.rand(*shape).astype(np.float32) + 0.1
+        # no gamma on purpose
+    out = str(tmp_path / "i3d_tf.npz")
+    assert convert(sd, out) == len(i3d.param_shapes())
+    loaded = np.load(out)
+    assert np.array_equal(loaded["Mixed_3b/b0/bn/scale"],
+                          np.ones(64, np.float32))
+
+
+def test_convert_rejects_wrong_architecture(tmp_path):
+    rng = np.random.RandomState(2)
+    sd = {"conv0.conv3d.weight": rng.randn(8, 3, 3, 3, 3).astype(np.float32)}
+    with pytest.raises(ValueError, match="does not map"):
+        convert(sd, str(tmp_path / "bad.npz"))
+
+
+def test_load_npz_rejects_shape_mismatch(tmp_path):
+    rng = np.random.RandomState(3)
+    sd = _fake_torch_sd(rng)
+    out = str(tmp_path / "i3d2.npz")
+    convert(sd, out)
+    arrays = dict(np.load(out))
+    arrays["Conv3d_1a_7x7/w"] = arrays["Conv3d_1a_7x7/w"][..., :32]
+    np.savez(out, **arrays)
+    with pytest.raises(ValueError, match="topology"):
+        i3d.load_npz(out)

@@ -1,15 +1,30 @@
-"""Convert pretrained 3-D conv video-net weights (torch) → the npz layout
-`dvdgan_tpu.eval.features.I3DLikeFeatures` loads (SURVEY.md §2.17 / §7.9).
+"""Convert pretrained I3D (Kinetics-400) checkpoints → the npz layout
+`dvdgan_tpu.eval.i3d` loads (SURVEY.md §2.17 / §7.9, VERDICT r1 missing #2).
 
-Published FVD uses an I3D net pretrained on Kinetics-400; this sandbox has
-no network, so the conversion runs wherever the weights exist and the npz
-ships with the data. Any torch state_dict whose conv3d kernels follow the
-(Cout, Cin, kT, kH, kW) convention works — layers are taken in order and
-re-laid-out to DHWIO (kT, kH, kW, Cin, Cout).
+Mapping is BY MODULE NAME against the canonical topology in
+`dvdgan_tpu/eval/i3d.py` — never by encounter order — and the result is
+validated tensor-by-tensor (every expected name present, exact shapes), so
+a wrong-architecture checkpoint fails loudly instead of producing garbage
+features.
 
-Usage:
+Two source naming schemes are recognized:
+
+  * PyTorch I3D (the common `pytorch-i3d` port):
+      Conv3d_1a_7x7.conv3d.weight            (Cout, Cin, kT, kH, kW)
+      Conv3d_1a_7x7.bn.{weight,bias,running_mean,running_var}
+      Mixed_3b.b0.conv3d.weight, ... , logits.conv3d.{weight,bias}
+  * TF/Sonnet I3D (the original kinetics-i3d checkpoint, exported to a
+    name->ndarray dict):
+      .../Conv3d_1a_7x7/conv_3d/w            (kT, kH, kW, Cin, Cout)
+      .../Conv3d_1a_7x7/batch_norm/{beta,moving_mean,moving_variance}
+      (no BN scale — gamma fixed at 1)
+      .../Mixed_3b/Branch_0/Conv3d_0a_1x1/..., Logits/Conv3d_0c_1x1/...
+
+This sandbox has no network, so the conversion runs wherever the weights
+exist and the npz ships with the data:
+
     python tools/convert_i3d_weights.py checkpoint.pth out.npz
-    python main.py --mode eval ...   # I3DLikeFeatures(weights_npz="out.npz")
+    python main.py --mode eval --i3d_weights out.npz ...
 """
 
 from __future__ import annotations
@@ -18,50 +33,130 @@ import sys
 
 import numpy as np
 
+from dvdgan_tpu.eval import i3d
 
-def convert(state_dict, out_path: str) -> int:
-    """Write block{i}_w / block{i}_b arrays in encounter order. Returns the
-    number of conv3d layers converted."""
-    i = 0
-    arrays = {}
-    pending_w = None
-    for name, tensor in state_dict.items():
-        arr = np.asarray(tensor.detach().cpu().numpy()
-                         if hasattr(tensor, "detach") else tensor)
-        if arr.ndim == 5:                      # conv3d kernel OIDHW
-            if pending_w is not None:          # previous conv had no bias
-                arrays[f"block{i}_w"] = pending_w
-                arrays[f"block{i}_b"] = np.zeros(pending_w.shape[-1],
-                                                 np.float32)
-                i += 1
-            # (Cout, Cin, kT, kH, kW) -> (kT, kH, kW, Cin, Cout)
-            pending_w = arr.transpose(2, 3, 4, 1, 0).astype(np.float32)
-        elif arr.ndim == 1 and pending_w is not None \
-                and arr.shape[0] == pending_w.shape[-1] and "bias" in name:
-            arrays[f"block{i}_w"] = pending_w
-            arrays[f"block{i}_b"] = arr.astype(np.float32)
-            pending_w = None
-            i += 1
-    if pending_w is not None:
-        arrays[f"block{i}_w"] = pending_w
-        arrays[f"block{i}_b"] = np.zeros(pending_w.shape[-1], np.float32)
-        i += 1
-    np.savez(out_path, **arrays)
-    return i
+# TF branch-unit names per Mixed-block slot (our slot -> TF suffix).
+_TF_BRANCH = {
+    "b0": "Branch_0/Conv3d_0a_1x1",
+    "b1a": "Branch_1/Conv3d_0a_1x1",
+    "b1b": "Branch_1/Conv3d_0b_3x3",
+    "b2a": "Branch_2/Conv3d_0a_1x1",
+    "b2b": "Branch_2/Conv3d_0b_3x3",
+    "b3b": "Branch_3/Conv3d_0b_1x1",
+}
+
+
+def _as_numpy(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t,
+                      np.float32)
+
+
+def _find(sd: dict, suffix: str):
+    """The unique key ending with `suffix` (TF keys carry scope prefixes)."""
+    hits = [k for k in sd if k == suffix or k.endswith("/" + suffix)]
+    if len(hits) != 1:
+        return None
+    return _as_numpy(sd[hits[0]])
+
+
+def _unit_prefixes(flat_key: str) -> tuple[str, str, str]:
+    """flat param key -> (our unit path, torch prefix, tf unit path)."""
+    parts = flat_key.split("/")
+    if parts[0] == "logits":
+        return "logits", "logits", "Logits/Conv3d_0c_1x1"
+    if parts[0].startswith("Mixed"):
+        unit = "/".join(parts[:2])
+        torch_prefix = f"{parts[0]}.{parts[1]}"
+        tf_path = f"{parts[0]}/{_TF_BRANCH[parts[1]]}"
+        return unit, torch_prefix, tf_path
+    return parts[0], parts[0], parts[0]
+
+
+def convert(state_dict: dict, out_path: str) -> int:
+    """Map a checkpoint dict onto the canonical I3D npz by NAME; validate
+    completeness + shapes via i3d.load_npz's contract. Returns the number of
+    parameter tensors written."""
+    sd = dict(state_dict)
+    is_torch_style = any(".conv3d.weight" in k for k in sd)
+    expected = i3d.param_shapes()
+    out: dict[str, np.ndarray] = {}
+    problems: list[str] = []
+
+    units = sorted({_unit_prefixes(k)[0] for k in expected})
+    for unit in units:
+        torch_prefix = _unit_prefixes(unit + "/w")[1]
+        tf_path = _unit_prefixes(unit + "/w")[2]
+        if is_torch_style:
+            w = _find(sd, f"{torch_prefix}.conv3d.weight")
+            if w is not None:
+                # (Cout, Cin, kT, kH, kW) -> (kT, kH, kW, Cin, Cout)
+                w = w.transpose(2, 3, 4, 1, 0)
+            bn = {s: _find(sd, f"{torch_prefix}.bn.{t}")
+                  for s, t in (("scale", "weight"), ("offset", "bias"),
+                               ("mean", "running_mean"),
+                               ("var", "running_var"))}
+            bias = _find(sd, f"{torch_prefix}.conv3d.bias")
+        else:
+            w = _find(sd, f"{tf_path}/conv_3d/w")          # already DHWIO
+            bn = {"scale": _find(sd, f"{tf_path}/batch_norm/gamma"),
+                  "offset": _find(sd, f"{tf_path}/batch_norm/beta"),
+                  "mean": _find(sd, f"{tf_path}/batch_norm/moving_mean"),
+                  "var": _find(sd, f"{tf_path}/batch_norm/moving_variance")}
+            bias = _find(sd, f"{tf_path}/conv_3d/b")
+
+        if w is None:
+            problems.append(f"{unit}: conv kernel not found")
+            continue
+        out[f"{unit}/w"] = w
+        if unit == "logits":
+            out["logits/b"] = (bias if bias is not None
+                               else np.zeros(w.shape[-1], np.float32))
+            continue
+        cout = w.shape[-1]
+        for s in ("scale", "offset", "mean", "var"):
+            v = bn[s]
+            if v is None:
+                # TF I3D trains BN with scale=False (gamma == 1)
+                if s == "scale":
+                    v = np.ones(cout, np.float32)
+                elif s == "var":
+                    v = np.ones(cout, np.float32)
+                    problems.append(f"{unit}: bn {s} missing (defaulted)")
+                else:
+                    v = np.zeros(cout, np.float32)
+                    problems.append(f"{unit}: bn {s} missing (defaulted)")
+            out[f"{unit}/bn/{s}"] = v
+
+    shape_bad = [f"{k}: got {tuple(out[k].shape)}, want {tuple(expected[k])}"
+                 for k in expected if k in out
+                 and tuple(out[k].shape) != tuple(expected[k])]
+    missing = sorted(set(expected) - set(out))
+    if problems or shape_bad or missing:
+        raise ValueError(
+            "checkpoint does not map onto the I3D topology:\n  "
+            + "\n  ".join(problems + shape_bad
+                          + [f"missing: {m}" for m in missing[:10]]))
+    np.savez(out_path, **out)
+    i3d.load_npz(out_path)   # final round-trip validation
+    return len(out)
 
 
 def main():
     if len(sys.argv) != 3:
         print(__doc__)
         raise SystemExit(2)
-    import torch
-    sd = torch.load(sys.argv[1], map_location="cpu")
-    if hasattr(sd, "state_dict"):
-        sd = sd.state_dict()
-    if "state_dict" in sd:
-        sd = sd["state_dict"]
-    n = convert(sd, sys.argv[2])
-    print(f"converted {n} conv3d layers -> {sys.argv[2]}")
+    src, dst = sys.argv[1], sys.argv[2]
+    if src.endswith(".npz"):
+        sd = dict(np.load(src))
+    else:
+        import torch
+        sd = torch.load(src, map_location="cpu", weights_only=False)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        if "state_dict" in sd:
+            sd = sd["state_dict"]
+    n = convert(sd, dst)
+    print(f"converted {n} tensors ({i3d.n_params():,} params) -> {dst}")
 
 
 if __name__ == "__main__":
