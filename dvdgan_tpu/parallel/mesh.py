@@ -32,6 +32,7 @@ from dvdgan_tpu.train import step as train_step_mod
 from dvdgan_tpu.train.state import TrainConfig
 
 DATA_AXIS = "data"
+TIME_AXIS = "time"
 
 
 def make_mesh(shape: Optional[Tuple[int, ...]] = None,
@@ -65,22 +66,39 @@ def replicate_state(mesh: Mesh, state):
 def make_parallel_train_step(g_cfg: GConfig, ds_cfg: DSConfig,
                              dt_cfg: DTConfig, tc: TrainConfig,
                              mesh: Mesh, donate: bool = True):
-    """shard_map'd + jitted data-parallel train step.
+    """shard_map'd + jitted (data[, time])-parallel train step.
 
-    f(state, real, y, key) with: state replicated; real/y batch-sharded;
-    key replicated — each replica folds in its `data`-axis index so z draws
-    and frame samplings are independent per shard (the per-step RNG contract
-    extends with the axis index; metrics are pmean'd so every host sees the
-    global value).
+    f(state, real, y, key) with: state replicated; real/y batch-sharded
+    over `data`; key replicated — each replica folds in its `data`-axis
+    index so z draws and frame samplings are independent per shard (the
+    per-step RNG contract extends with the axis index; metrics are pmean'd
+    so every host sees the global value).
+
+    If the mesh has a `time` axis of size > 1 (SURVEY §5.7 long-clip CP):
+    G and DS replicate along it (same data shard, same folded key →
+    identical compute), while DT runs time-sharded with ppermute halos
+    (train/step.py dt_score); gradients pmean over BOTH axes, which is
+    exactly the unsharded gradient (see step.py docstring for the psum-
+    transpose argument).
     """
+    n_time = dict(zip(mesh.axis_names, mesh.devices.shape)).get(TIME_AXIS, 1)
+    time_axis = TIME_AXIS if n_time > 1 else None
+    if time_axis is not None and g_cfg.n_frames % n_time:
+        raise ValueError(
+            f"n_frames={g_cfg.n_frames} not divisible by the time axis "
+            f"({n_time} shards)")
     inner = functools.partial(
         train_step_mod.train_step, g_cfg=g_cfg, ds_cfg=ds_cfg, dt_cfg=dt_cfg,
-        tc=tc, axis_name=DATA_AXIS)
+        tc=tc, axis_name=DATA_AXIS, time_axis=time_axis)
+    metric_axes = ((DATA_AXIS, TIME_AXIS) if time_axis is not None
+                   else DATA_AXIS)
 
     def per_shard(state, real, y, key):
+        # fold over `data` ONLY: time ranks must draw identical streams so
+        # the replicated G forward (and its sliced DT input) agree bitwise
         key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
         state, metrics = inner(state, real, y, key)
-        metrics = jax.lax.pmean(metrics, DATA_AXIS)
+        metrics = jax.lax.pmean(metrics, metric_axes)
         return state, metrics
 
     mapped = jax.shard_map(

@@ -35,6 +35,10 @@ class TrainConfig:
     ema_decay: float = 0.9999
     ema_start: int = 1000     # steps before EMA starts averaging
     batch_size: int = 4
+    # micro-batches per optimizer update (train/step.py docstring: D-phase
+    # updates stay exactly full-batch; G recomputes per micro-batch with
+    # per-micro BN stats). Needed for preset 4's global batch 512.
+    grad_accum: int = 1
 
 
 def g_optimizer(tc: TrainConfig) -> optax.GradientTransformation:

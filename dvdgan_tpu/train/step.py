@@ -12,7 +12,10 @@ RNG contract (SURVEY §7 hard-part #5 — pinned for reproducibility):
     then [g: z_g, fake-frame-idx_g].
   Frame indices are sampled per-clip, uniform WITHOUT replacement
   (jax.random.permutation of T, take first k), independently for real and
-  fake batches.
+  fake batches. `rng_shards=r` draws every stream in r equal per-group
+  chunks with per-group folded keys — the exact streams an r-way
+  data-parallel run consumes (parallel/mesh.py folds the same way), so a
+  single device can replay a DP run for equivalence testing.
 
 Spectral-norm / BN update contract (documented deviation from the torch
 reference, where any train-mode forward mutates — ops/spectral_norm.py):
@@ -21,6 +24,29 @@ reference, where any train-mode forward mutates — ops/spectral_norm.py):
     still normalize with batch statistics, but the running-stat write is
     discarded);
   * D sees batch-stat-normalized fakes in both phases.
+
+Gradient accumulation (tc.grad_accum = k > 1): the per-device batch is
+split into k equal micro-batches; each optimizer update consumes the MEAN
+of the k micro-gradients. All RNG streams are drawn at FULL batch and
+sliced, so turning accumulation on/off never changes the z / frame-index
+streams. Fake generation for the D phase stays ONE full-batch G forward
+(forward-only memory is transient; the k× memory win is in the gradient
+passes) — therefore the D-phase updates are EXACTLY the full-batch updates
+(up to float reassociation of the mean; tested). The G phase recomputes
+G per micro-batch, so G's CBN normalizes over micro-batch statistics — the
+same per-shard-BN semantics as the torch reference's DataParallel — which
+is the one documented deviation from the k=1 step.
+
+Time-axis context parallelism (`time_axis` set, SURVEY §5.7): DT — and
+only DT — runs time-sharded via parallel/time_shard.py. Each (data, time)
+device holds the full clip (G and DS are replicated along `time`); for DT
+it slices its own T/n_time window, exchanges 1-frame halos over ICI, and
+the per-clip score is psum'd over `time` inside dt_apply. Because every
+rank then computes the identical loss from the psum'd score, the per-rank
+parameter cotangents come out n_time× their own partial (psum transposes
+to psum); the pmean over (data, time) in the gradient reduction restores
+exactly Σ_ranks partial — grads match the unsharded step (tested on the
+8-CPU mesh, 4 data × 2 time).
 """
 
 from __future__ import annotations
@@ -51,29 +77,93 @@ def take_frames(video: jax.Array, idx: jax.Array) -> jax.Array:
     return jax.vmap(lambda v, i: v[i])(video, idx)
 
 
-def _mean_if_parallel(tree, axis_name):
-    if axis_name is None:
+def _mean_if_parallel(tree, axes: tuple):
+    if not axes:
         return tree
-    return jax.lax.pmean(tree, axis_name)
+    return jax.lax.pmean(tree, axes if len(axes) > 1 else axes[0])
+
+
+def _micro(x: jax.Array, k: int) -> jax.Array:
+    """(B, ...) -> (k, B/k, ...) stacked micro-batches."""
+    return x.reshape(k, x.shape[0] // k, *x.shape[1:])
+
+
+def _accum_grads(loss_fn, params, micro_args, k: int):
+    """Mean gradient over k micro-batches via lax.scan (activations live
+    for ONE micro-batch at a time — the memory point of accumulation).
+    loss_fn(params, *args) -> (loss, aux). Returns (grads, losses (k,),
+    aux_stacked)."""
+    def body(acc, inp):
+        (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, *inp)
+        return jax.tree.map(jnp.add, acc, g), (loss, aux)
+
+    zero = jax.tree.map(jnp.zeros_like, params)
+    acc, (ls, auxes) = jax.lax.scan(body, zero, micro_args)
+    return jax.tree.map(lambda a: a / k, acc), ls, auxes
 
 
 def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
                g_cfg: GConfig, ds_cfg: DSConfig, dt_cfg: DTConfig,
                tc: TrainConfig,
-               axis_name: Optional[str] = None) -> tuple[dict, dict]:
+               axis_name: Optional[str] = None,
+               time_axis: Optional[str] = None,
+               rng_shards: Optional[int] = None) -> tuple[dict, dict]:
     """(state, real (B,T,H,W,3) in [-1,1], y (B,), key) -> (state, metrics).
 
-    Static args: the three model configs + TrainConfig + axis_name. Intended
+    Static args: the three model configs + TrainConfig + axis names. Intended
     use: functools.partial(...) then jit with donate_argnums=(0,) — or wrap
     in shard_map via parallel.make_parallel_train_step.
     """
     b, t = real.shape[:2]
     k = ds_cfg.k_frames
+    ka = tc.grad_accum
+    if b % ka:
+        raise ValueError(f"batch {b} not divisible by grad_accum {ka}")
+    grad_axes = tuple(a for a in (axis_name, time_axis) if a is not None)
     g_opt = train_state.g_optimizer(tc)
     d_opt = train_state.d_optimizer(tc)
     metrics: dict[str, jax.Array] = {}
 
-    keys = jax.random.split(key, 3 * tc.d_steps + 2)
+    # ---- RNG streams: full-batch draws, optionally in rng_shards groups ----
+    n_keys = 3 * tc.d_steps + 2
+    if rng_shards is None:
+        keys = jax.random.split(key, n_keys)
+
+        def draw_z(i: int) -> jax.Array:
+            return jax.random.normal(keys[i], (b, g_cfg.z_dim), real.dtype)
+
+        def draw_idx(i: int) -> jax.Array:
+            return sample_frame_indices(keys[i], b, t, k)
+    else:
+        r = rng_shards
+        if b % r:
+            raise ValueError(f"batch {b} not divisible by rng_shards {r}")
+        gkeys = jax.vmap(
+            lambda g: jax.random.split(jax.random.fold_in(key, g), n_keys)
+        )(jnp.arange(r))                                    # (r, n_keys, 2)
+
+        def draw_z(i: int) -> jax.Array:
+            zs = jax.vmap(lambda kk: jax.random.normal(
+                kk, (b // r, g_cfg.z_dim), real.dtype))(gkeys[:, i])
+            return zs.reshape(b, g_cfg.z_dim)
+
+        def draw_idx(i: int) -> jax.Array:
+            ix = jax.vmap(lambda kk: sample_frame_indices(
+                kk, b // r, t, k))(gkeys[:, i])
+            return ix.reshape(b, k)
+
+    # ---- DT scoring: plain, or time-sharded CP (SURVEY §5.7) --------------
+    def dt_score(dt_sn, half_clip, yy):
+        if time_axis is None:
+            return discriminator.dt_apply(dt_sn, half_clip, yy, dt_cfg)
+        from dvdgan_tpu.parallel import time_shard
+        n = jax.lax.axis_size(time_axis)
+        tl = half_clip.shape[1] // n
+        shard = jax.lax.dynamic_slice_in_dim(
+            half_clip, jax.lax.axis_index(time_axis) * tl, tl, axis=1)
+        return time_shard.dt_apply_time_sharded(dt_sn, shard, yy, dt_cfg,
+                                                time_axis)
 
     # G's params and sn_u are constant across the whole D phase, so (a) the
     # σ-normalization of G is computed ONCE (the σ math is ~70 small
@@ -86,9 +176,7 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
     # (analogous to cross-replica BN pooling over devices).
     g_sn, _ = sn.sn_normalize(state["g"]["params"], state["g"]["sn_u"],
                               update=False, compute_dtype=real.dtype)
-    z_all = jnp.concatenate(
-        [jax.random.normal(keys[3 * i], (b, g_cfg.z_dim), real.dtype)
-         for i in range(tc.d_steps)])
+    z_all = jnp.concatenate([draw_z(3 * i) for i in range(tc.d_steps)])
     y_all = jnp.tile(y, tc.d_steps)
     fake_all, _ = generator.apply(g_sn, state["g"]["stats"], z_all, y_all,
                                   g_cfg, train=True, axis_name=axis_name)
@@ -96,35 +184,47 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
 
     # ---------------------------------------------------- D phase ×d_steps --
     for i in range(tc.d_steps):
-        _, kreal_f, kfake_f = keys[3 * i:3 * i + 3]
         fake = fake_all[i * b:(i + 1) * b]
 
-        idx_r = sample_frame_indices(kreal_f, b, t, k)
-        idx_f = sample_frame_indices(kfake_f, b, t, k)
+        idx_r = draw_idx(3 * i + 1)
+        idx_f = draw_idx(3 * i + 2)
         real_frames = take_frames(real, idx_r)
         fake_frames = take_frames(fake, idx_f)
         real_half = resize.avg_pool_2x_video(real)
         fake_half = resize.avg_pool_2x_video(fake)
 
-        def d_loss_fn(d_params):
+        def d_loss_fn(d_params, rf, ff, rh, fh, yy):
             ds_sn, ds_u = sn.sn_normalize(d_params["ds"],
                                           state["ds"]["sn_u"], update=True,
                                           compute_dtype=real.dtype)
             dt_sn, dt_u = sn.sn_normalize(d_params["dt"],
                                           state["dt"]["sn_u"], update=True,
                                           compute_dtype=real.dtype)
-            ds_r = discriminator.ds_apply(ds_sn, real_frames, y, ds_cfg)
-            ds_f = discriminator.ds_apply(ds_sn, fake_frames, y, ds_cfg)
-            dt_r = discriminator.dt_apply(dt_sn, real_half, y, dt_cfg)
-            dt_f = discriminator.dt_apply(dt_sn, fake_half, y, dt_cfg)
+            ds_r = discriminator.ds_apply(ds_sn, rf, yy, ds_cfg)
+            ds_f = discriminator.ds_apply(ds_sn, ff, yy, ds_cfg)
+            dt_r = dt_score(dt_sn, rh, yy)
+            dt_f = dt_score(dt_sn, fh, yy)
             l_ds = losses.d_hinge(ds_r, ds_f)
             l_dt = losses.d_hinge(dt_r, dt_f)
             return l_ds + l_dt, (l_ds, l_dt, ds_u, dt_u)
 
         d_params = {"ds": state["ds"]["params"], "dt": state["dt"]["params"]}
-        (d_loss, (l_ds, l_dt, ds_u, dt_u)), d_grads = (
-            jax.value_and_grad(d_loss_fn, has_aux=True)(d_params))
-        d_grads = _mean_if_parallel(d_grads, axis_name)
+        if ka == 1:
+            (d_loss, (l_ds, l_dt, ds_u, dt_u)), d_grads = (
+                jax.value_and_grad(d_loss_fn, has_aux=True)(
+                    d_params, real_frames, fake_frames, real_half,
+                    fake_half, y))
+        else:
+            micro = tuple(_micro(x, ka) for x in (
+                real_frames, fake_frames, real_half, fake_half, y))
+            d_grads, ls, auxes = _accum_grads(d_loss_fn, d_params, micro, ka)
+            d_loss = ls.mean()
+            l_ds = auxes[0].mean()
+            l_dt = auxes[1].mean()
+            # u depends only on params — identical every micro; take last
+            ds_u = jax.tree.map(lambda x: x[-1], auxes[2])
+            dt_u = jax.tree.map(lambda x: x[-1], auxes[3])
+        d_grads = _mean_if_parallel(d_grads, grad_axes)
 
         upd_ds, opt_ds = d_opt.update(d_grads["ds"], state["ds"]["opt"],
                                       state["ds"]["params"])
@@ -139,31 +239,40 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
             metrics.update(d_loss=d_loss, d_loss_s=l_ds, d_loss_t=l_dt)
 
     # -------------------------------------------------------- G phase ×1 ----
-    kz_g, kfake_g = keys[3 * tc.d_steps:3 * tc.d_steps + 2]
-    z_g = jax.random.normal(kz_g, (b, g_cfg.z_dim), real.dtype)
-    idx_g = sample_frame_indices(kfake_g, b, t, k)
+    z_g = draw_z(3 * tc.d_steps)
+    idx_g = draw_idx(3 * tc.d_steps + 1)
 
     ds_sn, _ = sn.sn_normalize(state["ds"]["params"], state["ds"]["sn_u"],
                                update=False, compute_dtype=real.dtype)
     dt_sn, _ = sn.sn_normalize(state["dt"]["params"], state["dt"]["sn_u"],
                                update=False, compute_dtype=real.dtype)
 
-    def g_loss_fn(g_params):
+    def g_loss_fn(g_params, z_j, idx_j, y_j):
         g_sn, g_u = sn.sn_normalize(g_params, state["g"]["sn_u"], update=True,
                                     compute_dtype=real.dtype)
-        fake, g_stats = generator.apply(g_sn, state["g"]["stats"], z_g, y,
+        fake, g_stats = generator.apply(g_sn, state["g"]["stats"], z_j, y_j,
                                         g_cfg, train=True,
                                         axis_name=axis_name)
-        s_ds = discriminator.ds_apply(ds_sn, take_frames(fake, idx_g), y,
+        s_ds = discriminator.ds_apply(ds_sn, take_frames(fake, idx_j), y_j,
                                       ds_cfg)
-        s_dt = discriminator.dt_apply(dt_sn, resize.avg_pool_2x_video(fake),
-                                      y, dt_cfg)
+        s_dt = dt_score(dt_sn, resize.avg_pool_2x_video(fake), y_j)
         g_loss = losses.g_hinge(s_ds) + losses.g_hinge(s_dt)
         return g_loss, (g_u, g_stats)
 
-    (g_loss, (g_u, g_stats)), g_grads = (
-        jax.value_and_grad(g_loss_fn, has_aux=True)(state["g"]["params"]))
-    g_grads = _mean_if_parallel(g_grads, axis_name)
+    if ka == 1:
+        (g_loss, (g_u, g_stats)), g_grads = (
+            jax.value_and_grad(g_loss_fn, has_aux=True)(
+                state["g"]["params"], z_g, idx_g, y))
+    else:
+        micro = tuple(_micro(x, ka) for x in (z_g, idx_g, y))
+        g_grads, ls, auxes = _accum_grads(g_loss_fn, state["g"]["params"],
+                                          micro, ka)
+        g_loss = ls.mean()
+        g_u = jax.tree.map(lambda x: x[-1], auxes[0])
+        # running-stat update is linear in the batch moments, so the mean
+        # over micros == one update with the mean micro-moment
+        g_stats = jax.tree.map(lambda x: x.mean(axis=0), auxes[1])
+    g_grads = _mean_if_parallel(g_grads, grad_axes)
 
     upd_g, opt_g = g_opt.update(g_grads, state["g"]["opt"],
                                 state["g"]["params"])

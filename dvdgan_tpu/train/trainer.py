@@ -55,13 +55,22 @@ class Trainer:
         self.start_step = 0
         self._maybe_resume()
 
-        # data-parallel over as many devices as divide the global batch
-        self.n_devices = jax.device_count()
-        while self.n_devices > 1 and cfg.batch_size % self.n_devices:
-            self.n_devices -= 1
+        # data-parallel over as many devices as divide the global batch;
+        # with time_shards > 1 the mesh is 2-D (data × time) and DT runs
+        # context-parallel over the clip (SURVEY §5.7)
+        n_time = max(1, cfg.time_shards)
+        n_data = jax.device_count() // n_time
+        while n_data > 1 and cfg.batch_size % n_data:
+            n_data -= 1
+        self.n_devices = n_data * n_time
         if self.n_devices > 1:
-            self.mesh = parallel.make_mesh(
-                devices=jax.devices()[:self.n_devices])
+            if n_time > 1:
+                self.mesh = parallel.make_mesh(
+                    (n_data, n_time), ("data", "time"),
+                    devices=jax.devices()[:self.n_devices])
+            else:
+                self.mesh = parallel.make_mesh(
+                    devices=jax.devices()[:self.n_devices])
             self.state = parallel.replicate_state(self.mesh, self.state)
             self.step_fn = parallel.make_parallel_train_step(
                 self.g_cfg, self.ds_cfg, self.dt_cfg, self.tc, self.mesh)
@@ -118,9 +127,9 @@ class Trainer:
         data = self.loader.forever(
             start_epoch=self.start_step // batches_per_epoch)
         metrics = {}
-        lagged = None   # metrics from log_step ago: fetching them is free
-        #                 (that step already finished) so the log-step sync
-        #                 never stalls the device pipeline
+        lagged = None   # (step, metrics) from log_step ago: fetching them is
+        #                 free (that step already finished) so the log-step
+        #                 sync never stalls the device pipeline
         t_last = time.time()
         dtype = jnp.bfloat16 if c.bf16 else jnp.float32
 
@@ -128,7 +137,11 @@ class Trainer:
             if c.profile and i == self.start_step + 10:
                 jax.profiler.start_trace(os.path.join(self.out_dir, "trace"))
             if c.profile and i == self.start_step + 15:
-                jax.tree.map(lambda x: x.block_until_ready(), metrics)
+                # true device barrier: fetch a scalar — block_until_ready
+                # does NOT synchronize through the axon tunnel (CLAUDE.md),
+                # which would truncate the trace mid-step
+                for leaf in jax.tree.leaves(metrics):
+                    float(leaf)
                 jax.profiler.stop_trace()
             clip, labels = next(data)
             clip = clip.astype(dtype)
@@ -142,20 +155,26 @@ class Trainer:
 
             step = i + 1
             if step % c.log_step == 0:
-                report_step = step - c.log_step if lagged is not None else step
-                report = lagged if lagged is not None else metrics
+                report_step, report = lagged if lagged is not None \
+                    else (step, metrics)
                 m = {k: float(v) for k, v in report.items()}
                 dt = time.time() - t_last
                 sps = c.log_step / dt if dt > 0 else 0.0
                 t_last = time.time()
+                # both curves at report_step: the sps window just measured
+                # ends at the lagged step's device completion
                 self.writer.scalars(m, report_step)
-                self.writer.scalar("steps_per_sec", sps, step)
+                self.writer.scalar("steps_per_sec", sps, report_step)
                 print(step_line(report_step, m, sps))
-                lagged = metrics
+                lagged = (step, metrics)
             if c.sample_step and step % c.sample_step == 0:
                 self.dump_samples(step)
             if c.model_save_step and step % c.model_save_step == 0:
                 ckpt.save(self.ckpt_dir, step, jax.device_get(self.state))
+        if lagged is not None:   # final interval's metrics, never yet written
+            lstep, lmetrics = lagged
+            self.writer.scalars({k: float(v) for k, v in lmetrics.items()},
+                                lstep)
         return {k: float(v) for k, v in metrics.items()} if metrics else {}
 
     # ---------------------------------------------------------------- sample

@@ -47,6 +47,7 @@ class Config:
     beta1: float = 0.0
     beta2: float = 0.999
     d_steps: int = 2
+    grad_accum: int = 1               # micro-batches per update (preset 4)
     ema_decay: float = 0.9999
     ema_start: int = 1000
     total_step: int = 100000
@@ -63,6 +64,8 @@ class Config:
     nan_check: bool = False      # jax_debug_nans for the whole run
     remat: bool = False          # rematerialize G levels (long-clip configs)
     multihost: bool = False      # jax.distributed.initialize() at startup
+    time_shards: int = 1         # >1: (data × time) mesh, DT context-
+    #                              parallel over the clip (SURVEY §5.7)
 
     # ---- derived model configs ------------------------------------------
     def g_config(self) -> GConfig:
@@ -86,7 +89,8 @@ class Config:
                            beta2=self.beta2, d_steps=self.d_steps,
                            ema_decay=self.ema_decay,
                            ema_start=self.ema_start,
-                           batch_size=self.batch_size)
+                           batch_size=self.batch_size,
+                           grad_accum=self.grad_accum)
 
 
 # The five driver configs (BASELINE.json .configs), as named presets.

@@ -45,26 +45,90 @@ def test_parallel_step_runs_and_replicas_agree():
 
 
 @pytest.mark.skipif(jax.device_count() < 2, reason="needs multi-device")
-def test_parallel_matches_single_device_when_rng_aligned():
-    """With cross-replica BN + pmean'd grads, an N-way sharded batch must
-    train exactly like the same global batch on one device — up to the RNG
-    fold-in. We check the D losses are close (not bitwise: per-replica z
-    draws differ by design)."""
+def test_parallel_matches_single_device_rng_replay():
+    """REAL DP equivalence (VERDICT r1 weak #5): a single device replays the
+    exact per-replica folded RNG streams via train_step(rng_shards=N), so
+    the N-way shard_map'd run (grad pmean + cross-replica BN) and the
+    single-device full-batch run consume identical z / frame-index streams
+    and must agree at the PARAMETER level after 2 steps, to float
+    reassociation tolerance."""
+    import functools
+
+    from dvdgan_tpu.train import step as step_mod
+
     mesh = make_mesh()
-    st = create(jax.random.PRNGKey(0), G_CFG, DS_CFG, DT_CFG, TC)
-    strep = replicate_state(mesh, st)
     n_dev = jax.device_count()
-    real = np.random.RandomState(1).randn(n_dev, 4, 32, 32, 3).astype(np.float32)
-    y = (np.arange(n_dev) % 5).astype(np.int32)
-    real_d, y_d = shard_batch(mesh, real, y)
+    st0 = create(jax.random.PRNGKey(0), G_CFG, DS_CFG, DT_CFG, TC)
+    rng = np.random.RandomState(1)
+    batches = [(rng.randn(n_dev, 4, 32, 32, 3).astype(np.float32),
+                (rng.permutation(n_dev) % 5).astype(np.int32))
+               for _ in range(2)]
+
+    # parallel: 2 steps
+    stp = replicate_state(mesh, st0)
     pstep = make_parallel_train_step(G_CFG, DS_CFG, DT_CFG, TC, mesh,
                                      donate=False)
-    _, pm = pstep(strep, real_d, y_d, jax.random.PRNGKey(2))
+    for i, (real, y) in enumerate(batches):
+        real_d, y_d = shard_batch(mesh, real, y)
+        stp, pm = pstep(stp, real_d, y_d, jax.random.PRNGKey(100 + i))
 
-    from dvdgan_tpu.train import make_train_step
-    sstep = make_train_step(G_CFG, DS_CFG, DT_CFG, TC, donate=False)
-    _, sm = sstep(st, jnp.asarray(real), jnp.asarray(y), jax.random.PRNGKey(2))
-    # same real data, same initial params: real-side hinge terms line up
-    # closely even though fake batches differ per replica.
-    assert np.isfinite(float(pm["d_loss"]))
-    assert abs(float(pm["d_loss"]) - float(sm["d_loss"])) < 10.0
+    # single device, same folded streams
+    sstep = jax.jit(functools.partial(
+        step_mod.train_step, g_cfg=G_CFG, ds_cfg=DS_CFG, dt_cfg=DT_CFG,
+        tc=TC, rng_shards=n_dev))
+    sts = st0
+    for i, (real, y) in enumerate(batches):
+        sts, sm = sstep(sts, jnp.asarray(real), jnp.asarray(y),
+                        jax.random.PRNGKey(100 + i))
+
+    assert abs(float(pm["d_loss"]) - float(sm["d_loss"])) < 1e-3
+    assert abs(float(pm["g_loss"]) - float(sm["g_loss"])) < 1e-3
+    for name in ("g", "ds", "dt"):
+        a = jax.tree.leaves(jax.device_get(stp[name]["params"]))
+        b = jax.tree.leaves(jax.device_get(sts[name]["params"]))
+        for la, lb in zip(a, b):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_time_cp_step_matches_data_parallel_only():
+    """2-D (4 data × 2 time) mesh with DT time-sharded == 1-D 4-device
+    data-only mesh, same global batch and keys: G/DS replicate along time
+    and the DT psum/halo program is mathematically the unsharded DT
+    (SURVEY §5.7 integration, VERDICT r1 missing #4)."""
+    devs = jax.devices()
+    st0 = create(jax.random.PRNGKey(0), G_CFG, DS_CFG, DT_CFG, TC)
+    rng = np.random.RandomState(2)
+    real = rng.randn(4, 4, 32, 32, 3).astype(np.float32)
+    y = (np.arange(4) % 5).astype(np.int32)
+
+    mesh1 = make_mesh(devices=devs[:4])
+    st1 = replicate_state(mesh1, st0)
+    step1 = make_parallel_train_step(G_CFG, DS_CFG, DT_CFG, TC, mesh1,
+                                     donate=False)
+    r1, y1 = shard_batch(mesh1, real, y)
+    st1, m1 = step1(st1, r1, y1, jax.random.PRNGKey(3))
+
+    mesh2 = make_mesh((4, 2), ("data", "time"), devices=devs)
+    st2 = replicate_state(mesh2, st0)
+    step2 = make_parallel_train_step(G_CFG, DS_CFG, DT_CFG, TC, mesh2,
+                                     donate=False)
+    r2, y2 = shard_batch(mesh2, real, y)
+    st2, m2 = step2(st2, r2, y2, jax.random.PRNGKey(3))
+
+    assert abs(float(m1["d_loss"]) - float(m2["d_loss"])) < 1e-4
+    assert abs(float(m1["g_loss"]) - float(m2["g_loss"])) < 1e-4
+    for name in ("g", "ds", "dt"):
+        flat, _ = jax.tree_util.tree_flatten_with_path(
+            jax.device_get(st1[name]["params"]))
+        other = jax.tree.leaves(jax.device_get(st2[name]["params"]))
+        for (path, la), lb in zip(flat, other):
+            # conv biases that feed straight into CBN have mathematically
+            # ~0 gradient; psum-reassociation noise flips Adam's first-step
+            # sign there (±lr). Everything else must agree tightly.
+            is_bias = jax.tree_util.keystr(path).endswith("['b']")
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(lb),
+                atol=3e-4 if is_bias else 5e-5, rtol=1e-4,
+                err_msg=f"{name}{jax.tree_util.keystr(path)}")

@@ -87,3 +87,45 @@ def test_sampling_shapes_and_determinism(setup):
     v2 = sample(st2["g_ema"], st2["g"]["stats"], st2["g"]["sn_u"], z, y, G_CFG)
     assert v1.shape == (2, 4, 32, 32, 3)
     assert np.array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_grad_accum_d_phase_exact_and_g_runs():
+    """tc.grad_accum=k (train/step.py docstring): RNG streams are full-batch
+    draws sliced per micro, and fake generation stays one full-batch
+    forward — so the D-phase optimizer updates must EXACTLY equal the k=1
+    step's (up to mean reassociation). The G phase recomputes per micro
+    with per-micro BN stats (documented deviation) — checked loose."""
+    import dataclasses
+
+    tc1 = TrainConfig(d_steps=2, batch_size=4, ema_start=0)
+    tck = dataclasses.replace(tc1, grad_accum=2)
+    st0 = create(jax.random.PRNGKey(0), G_CFG, DS_CFG, DT_CFG, tc1)
+    rng = np.random.RandomState(0)
+    real = jnp.asarray(rng.randn(4, 4, 32, 32, 3), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 5, 4), jnp.int32)
+    key = jax.random.PRNGKey(7)
+
+    s1, m1 = make_train_step(G_CFG, DS_CFG, DT_CFG, tc1, donate=False)(
+        st0, real, y, key)
+    sk, mk = make_train_step(G_CFG, DS_CFG, DT_CFG, tck, donate=False)(
+        st0, real, y, key)
+
+    # D phase: exact (same fakes, same frame indices, mean-of-micro-grads
+    # == full-batch grad for mean losses)
+    for name in ("ds", "dt"):
+        for la, lb in zip(jax.tree.leaves(s1[name]["params"]),
+                          jax.tree.leaves(sk[name]["params"])):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       atol=2e-6, rtol=1e-5)
+    for k in ("d_loss", "d_loss_s", "d_loss_t"):
+        assert abs(float(m1[k]) - float(mk[k])) < 1e-5, k
+    # G phase: finite, params moved, same step/EMA contract
+    assert np.isfinite(float(mk["g_loss"]))
+    assert int(sk["step"]) == 1
+    g1 = jax.tree.leaves(s1["g"]["params"])
+    gk = jax.tree.leaves(sk["g"]["params"])
+    assert any(not np.array_equal(np.asarray(a), np.asarray(st0_l))
+               for a, st0_l in zip(gk, jax.tree.leaves(st0["g"]["params"])))
+    # and the per-micro-BN deviation stays small at init
+    for la, lb in zip(g1, gk):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=5e-4)
