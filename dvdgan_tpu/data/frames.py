@@ -56,18 +56,6 @@ def _load_frames_u8(path: str) -> np.ndarray:
     return np.stack(out)
 
 
-def _center_crop_resize(clip: np.ndarray, size: int) -> np.ndarray:
-    t, h, w, c = clip.shape
-    s = min(h, w)
-    y0, x0 = (h - s) // 2, (w - s) // 2
-    clip = clip[:, y0:y0 + s, x0:x0 + s]
-    if s != size:
-        # nearest-neighbor resize via index maps — no scipy/cv2 dependency
-        idx = (np.arange(size) * (s / size)).astype(np.int64)
-        clip = clip[:, idx][:, :, idx]
-    return clip
-
-
 class FrameFolderDataset:
     """Map-style dataset over extracted-frame dirs / .npy clips."""
 

@@ -14,7 +14,8 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, Tuple
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
@@ -30,6 +31,12 @@ class Loader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.num_threads = max(1, num_threads)
+        # item decodes fan out over this pool (num_threads > 1); the decode
+        # path (C++ clipops / PIL) releases the GIL, so threads give real
+        # parallelism where it matters (256px/48f clip assembly)
+        self._pool: Optional[ThreadPoolExecutor] = (
+            ThreadPoolExecutor(self.num_threads)
+            if self.num_threads > 1 else None)
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.ds)
@@ -41,7 +48,12 @@ class Loader:
         return idx
 
     def _make_batch(self, indices) -> Tuple[np.ndarray, np.ndarray]:
-        clips, labels = zip(*(self.ds[int(i)] for i in indices))
+        if self._pool is not None:
+            items = list(self._pool.map(self.ds.__getitem__,
+                                        (int(i) for i in indices)))
+        else:
+            items = [self.ds[int(i)] for i in indices]
+        clips, labels = zip(*items)
         return np.stack(clips), np.asarray(labels, np.int32)
 
     def epoch(self, epoch: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:

@@ -28,8 +28,39 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dvdgan_tpu.kernels.convgru_cell import (_batch_block,
-                                             _conv3x3_from_padded)
+from dvdgan_tpu.kernels.convgru_cell import _conv3x3_from_padded
+
+# The backward's per-block working set is ~3× the forward cell's (five
+# padded scratch planes incl. a 2C-wide one, plus ~15 live f32 (n,C)/(n,2C)
+# intermediates vs the forward's 3 gate buffers), so it gets its OWN
+# estimate + budget instead of borrowing the forward's _batch_block
+# (ADVICE r1 medium). Budget calibrated on-chip: the measured-good
+# T=48 32×32 c=64 bf16 config estimates ~7.6 MB here and compiles/runs;
+# CLAUDE.md's scoped-VMEM notes put the pipelined-grid ceiling near 7–8 MB.
+_BWD_VMEM_LIMIT_BYTES = 8 * 1024 * 1024
+
+
+def _bwd_batch_block(b: int, h: int, w: int, c: int, itemsize: int) -> int:
+    """Largest divisor of b whose BACKWARD working set fits the budget;
+    0 if even a single sample does not fit (caller must fall back)."""
+    for bb in range(b, 0, -1):
+        if b % bb:
+            continue
+        n = bb * h * w
+        # f32 intermediates: ~4 (n,2C) + ~14 (n,C) live planes
+        f32 = 4 * n * (4 * 2 * c + 14 * c)
+        pads = 5 * bb * (h + 2) * (w + 2) * c * itemsize  # hp,rhp,padc + 2C pad2c
+        carry = n * c * itemsize
+        io = 10 * n * c * itemsize  # 5 in + 5 out block C-equivalents
+        if f32 + pads + carry + io < _BWD_VMEM_LIMIT_BYTES:
+            return bb
+    return 0
+
+
+def fits_vmem(b: int, h: int, w: int, c: int, itemsize: int = 2) -> bool:
+    """True when the backward kernel can run at this shape (some batch-block
+    fits); the convgru_seq auto-selection gates on this."""
+    return _bwd_batch_block(b, h, w, c, itemsize) > 0
 
 
 def _flip_t(w: jax.Array) -> jax.Array:
@@ -110,7 +141,11 @@ def gru_sequence_bwd(gx, cx, h0, wg, wc, hs, g, interpret: bool = False):
     t, b, hh, ww, c2 = gx.shape
     c = c2 // 2
     dtype = h0.dtype
-    bb = _batch_block(b, hh, ww, c, dtype.itemsize)
+    bb = _bwd_batch_block(b, hh, ww, c, dtype.itemsize)
+    if bb == 0:
+        raise ValueError(
+            f"convgru backward working set does not fit VMEM at "
+            f"({b},{hh},{ww},{c}) — caller should use the scan backward")
     grid = (b // bb, t)
 
     h_prev_seq = jnp.concatenate([h0[None], hs[:-1]], axis=0)

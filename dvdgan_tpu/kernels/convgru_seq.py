@@ -191,13 +191,17 @@ _PALLAS_BWD_MIN_T = 32
 
 
 def _bwd(interpret, res, g):
-    t = res[0].shape[0]
+    t, b, hh, ww, c2 = res[0].shape
     use_kernel = (PALLAS_BWD if PALLAS_BWD is not None
                   else t >= _PALLAS_BWD_MIN_T)
     if (use_kernel and not interpret
             and jax.default_backend() not in ("cpu",)):
         from dvdgan_tpu.kernels import convgru_bwd
-        return convgru_bwd.gru_sequence_bwd(*res, g)
+        # the backward's working set is ~3× the forward's; only take the
+        # kernel when ITS estimate fits, else the scan path (ADVICE r1)
+        if convgru_bwd.fits_vmem(b, hh, ww, c2 // 2,
+                                 res[2].dtype.itemsize):
+            return convgru_bwd.gru_sequence_bwd(*res, g)
     return _seq_bwd_scan(*res, g)
 
 

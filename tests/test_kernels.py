@@ -235,3 +235,34 @@ def test_bwd_scan_matches_autodiff():
     got = kseq._seq_bwd_scan(*args, hs, g)
     for a, b in zip(got, want):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_bwd_vmem_gate_is_bwd_specific():
+    """The backward's working set is ~3× the forward's: shapes the forward
+    accepts must still be REJECTED by the backward gate when its own
+    estimate overflows, and the measured-good T=48 bench shape must pass
+    (ADVICE r1 medium: no more borrowing the forward's estimate)."""
+    assert kbwd.fits_vmem(8, 32, 32, 64, 2)       # measured-good on-chip
+    assert kc.fits_vmem(8, 32, 32, 64, 4)         # fwd fits this f32 shape...
+    assert not kbwd.fits_vmem(8, 32, 32, 64, 4)   # ...bwd must not
+
+
+def test_bwd_selection_falls_back_when_unfit(monkeypatch):
+    """_bwd with the kernel forced ON still takes the scan path when the
+    bwd-specific VMEM gate rejects the shape (instead of a Mosaic OOM)."""
+    called = {}
+    real_scan = kseq._seq_bwd_scan
+
+    def spy(*a):
+        called["scan"] = True
+        return real_scan(*a)
+
+    monkeypatch.setattr(kseq, "_seq_bwd_scan", spy)
+    monkeypatch.setattr(kseq, "PALLAS_BWD", True)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(kbwd, "fits_vmem", lambda *a: False)
+    args = _rand_seq_inputs(jax.random.PRNGKey(9), t=3, b=1, h=4, w=4, c=4)
+    hs = kseq._seq_reference(*args)
+    g = jnp.ones_like(hs)
+    kseq._bwd(False, (*args, hs), g)
+    assert called.get("scan")
