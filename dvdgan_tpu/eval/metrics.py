@@ -61,10 +61,18 @@ def evaluate_generator(trainer, extractor: Callable, n_samples: int = 256,
                        batch_size: int = 16,
                        classifier: Optional[Callable] = None) -> dict:
     """End-to-end eval loop: EMA-G samples vs the trainer's dataset.
-    Returns {"fvd": ..., ["is_mean","is_std"]}."""
+    Returns {"fvd": ..., ["is_mean","is_std"]}.
+
+    Synthesis (cond_frames == 0): unconditional samples vs real clips.
+    Prediction (DVD-GAN-FP): each fake is conditioned on a real clip's
+    prefix; features are computed over the FULL clip (real prefix +
+    generated continuation) vs the corresponding real clips — the paper's
+    prediction-FVD protocol ([P] §4)."""
     import jax
+    import jax.numpy as jnp
 
     ds = trainer.dataset
+    cf = getattr(trainer.g_cfg, "cond_frames", 0)
     n = min(n_samples, len(ds))
     real_feats = extract_features(
         extractor, (ds[i][0] for i in range(n)), batch_size)
@@ -77,8 +85,18 @@ def evaluate_generator(trainer, extractor: Callable, n_samples: int = 256,
         b = min(batch_size, n - done)
         key, kz, ky = jax.random.split(key, 3)
         z = jax.random.normal(kz, (b, trainer.g_cfg.z_dim))
-        y = jax.random.randint(ky, (b,), 0, trainer.cfg.n_classes)
-        fake = np.asarray(jax.device_get(trainer.sample(z, y)), np.float32)
+        if cf:
+            reals = np.stack([np.asarray(ds[done + j][0], np.float32)
+                              for j in range(b)])
+            yy = np.asarray([ds[done + j][1] for j in range(b)], np.int32)
+            cond = jnp.asarray(reals[:, :cf])
+            gen = np.asarray(jax.device_get(
+                trainer.sample(z, jnp.asarray(yy), cond=cond)), np.float32)
+            fake = np.concatenate([reals[:, :cf], gen], axis=1)
+        else:
+            y = jax.random.randint(ky, (b,), 0, trainer.cfg.n_classes)
+            fake = np.asarray(jax.device_get(trainer.sample(z, y)),
+                              np.float32)
         fake_feats.append(extractor(fake))
         if classifier is not None:
             probs.append(classifier(fake))

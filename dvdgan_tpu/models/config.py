@@ -42,7 +42,7 @@ _D_MULTS = {
 class GConfig:
     """Generator topology (SURVEY.md §2.6)."""
     img_size: int = 64
-    n_frames: int = 8
+    n_frames: int = 8            # GENERATED frames per clip
     ch: int = 32                 # base width unit
     z_dim: int = 120
     n_classes: int = 101
@@ -52,6 +52,12 @@ class GConfig:
     # rematerialize each level's activations in backward (SURVEY §5.7:
     # the 48-frame / 256px configs trade FLOPs for HBM)
     remat: bool = False
+    # DVD-GAN-FP (video prediction, [P] §3.2): G is conditioned on the
+    # first `cond_frames` real frames — a strided-conv frame encoder taps
+    # features at every level resolution and each level's ConvGRU warms up
+    # its initial hidden state by scanning over the encoded frames. 0 = the
+    # synthesis variant.
+    cond_frames: int = 0
 
     @property
     def mults(self) -> Tuple[int, ...]:

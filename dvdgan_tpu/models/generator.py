@@ -63,8 +63,53 @@ def init(key: jax.Array, cfg: GConfig) -> tuple[dict, dict]:
         kattn = jax.random.split(keys[2 * n + 3])[0]
         params["attn"] = attention.separable_attn_init(kattn, c_attn)
 
+    if cfg.cond_frames > 0:
+        params["fp_enc"] = _fp_encoder_init(
+            jax.random.split(keys[2 * n + 2])[1], cfg)
+
     stats = {"levels": stats_levels, "out_bn": norm.stats_init(c_last)}
     return params, stats
+
+
+def _fp_encoder_init(key: jax.Array, cfg: GConfig) -> dict:
+    """DVD-GAN-FP frame encoder: a strided-conv pyramid from img_size down
+    to base_res whose stage at resolution 4·2^i has exactly level i's GRU
+    input channels (ch·mults[i]) — its per-frame features warm up that
+    level's recurrent state. All kernels named 'w' → spectrally normalized
+    by the tree pass like the rest of G."""
+    n = cfg.n_levels
+    keys = jax.random.split(key, n + 1)
+    stem_c = cfg.ch * cfg.mults[n - 1]
+    stages = [layers.conv2d_init(keys[0], 3, 3, stem_c)]
+    cin = stem_c
+    # downsample img -> img/2 -> ... -> 4; the stage landing at 4·2^i
+    # emits ch·mults[i] channels (i = n-1 ... 0)
+    for j, i in enumerate(range(n - 1, -1, -1)):
+        cout = cfg.ch * cfg.mults[i]
+        stages.append(layers.conv2d_init(keys[j + 1], 3, cin, cout))
+        cin = cout
+    return {"stages": stages}
+
+
+def _fp_encode(params: dict, cond: jax.Array, cfg: GConfig) -> list:
+    """cond: (B, C, H, W, 3) in [-1,1] -> per-level time-major feature
+    sequences [(C, B, 4·2^i, 4·2^i, ch·m[i]) for i in 0..n_levels-1]."""
+    b, c_frames = cond.shape[:2]
+    n = cfg.n_levels
+    x = cond.reshape(b * c_frames, cfg.img_size, cfg.img_size, 3)
+    stages = params["fp_enc"]["stages"]
+    x = jax.nn.relu(layers.conv2d(stages[0], x))
+    taps: dict[int, jax.Array] = {}
+    for j, i in enumerate(range(n - 1, -1, -1)):
+        x = jax.nn.relu(layers.conv2d(stages[j + 1], x, stride=2))
+        taps[i] = x
+    out = []
+    for i in range(n):
+        t = taps[i]
+        r = t.shape[1]
+        out.append(jnp.moveaxis(
+            t.reshape(b, c_frames, r, r, t.shape[-1]), 1, 0))
+    return out
 
 
 def _attn_level_index(cfg: GConfig) -> int:
@@ -79,10 +124,15 @@ def _attn_level_index(cfg: GConfig) -> int:
 
 def apply(params: dict, stats: dict, z: jax.Array, y: jax.Array,
           cfg: GConfig, train: bool,
-          axis_name: Optional[str] = None) -> tuple[jax.Array, dict]:
-    """G(z, y) -> (video (B, T, H, W, 3) in [-1, 1], new_stats).
+          axis_name: Optional[str] = None,
+          cond_video: Optional[jax.Array] = None) -> tuple[jax.Array, dict]:
+    """G(z, y[, cond]) -> (video (B, T, H, W, 3) in [-1, 1], new_stats).
 
     z: (B, z_dim) float; y: (B,) int32 class ids. `train` is static.
+    With cfg.cond_frames > 0 (DVD-GAN-FP), cond_video is the (B,
+    cond_frames, H, W, 3) real prefix; each level's ConvGRU warms up by
+    scanning over its encoded features and the output is the n_frames
+    GENERATED continuation (the prefix is not re-emitted).
     """
     b = z.shape[0]
     t = cfg.n_frames
@@ -104,9 +154,23 @@ def apply(params: dict, stats: dict, z: jax.Array, y: jax.Array,
     attn_idx = (_attn_level_index(cfg)
                 if "attn" in params else -1)
 
-    def level_body(lvl, lvl_stats, x_seq, cond, i):
+    if cfg.cond_frames > 0:
+        if cond_video is None:
+            raise ValueError("cond_frames > 0 requires cond_video")
+        enc_seqs = _fp_encode(params, cond_video.astype(dtype), cfg)
+    else:
+        enc_seqs = [None] * n
+
+    def level_body(lvl, lvl_stats, x_seq, cond, enc_seq, i):
         cond_tb = jnp.tile(cond, (t, 1))                       # (T*B, cond)
-        h_seq = convgru.convgru(lvl["gru"], x_seq,
+        if enc_seq is not None:
+            # FP warm-up: the level's own GRU scans the encoded prefix;
+            # its final hidden state seeds the generation scan
+            warm = convgru.convgru(lvl["gru"], enc_seq, time_major=True)
+            h0 = warm[-1]
+        else:
+            h0 = None
+        h_seq = convgru.convgru(lvl["gru"], x_seq, h0=h0,
                                 time_major=True)               # (T,B,H,W,C)
         hw = h_seq.shape[2]
         h = h_seq.reshape(t * b, hw, hw, h_seq.shape[-1])      # fold time
@@ -123,13 +187,13 @@ def apply(params: dict, stats: dict, z: jax.Array, y: jax.Array,
         # recompute each level's activations in backward: HBM footprint of
         # the backward drops from O(levels · T · H · W · C) to one level's
         # worth — what makes the 48-frame / 256px configs fit (SURVEY §5.7)
-        level_body = jax.checkpoint(level_body, static_argnums=(4,))
+        level_body = jax.checkpoint(level_body, static_argnums=(5,))
 
     new_stats_levels = []
     for i in range(n):
         cond = jnp.concatenate([chunks[i + 1], e], axis=-1)    # (B, cond)
         x_seq, s = level_body(params["levels"][i], stats["levels"][i],
-                              x_seq, cond, i)
+                              x_seq, cond, enc_seqs[i], i)
         new_stats_levels.append(s)
 
     hw = x_seq.shape[2]

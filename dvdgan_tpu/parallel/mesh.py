@@ -83,9 +83,10 @@ def make_parallel_train_step(g_cfg: GConfig, ds_cfg: DSConfig,
     """
     n_time = dict(zip(mesh.axis_names, mesh.devices.shape)).get(TIME_AXIS, 1)
     time_axis = TIME_AXIS if n_time > 1 else None
-    if time_axis is not None and g_cfg.n_frames % n_time:
+    clip_len = g_cfg.n_frames + g_cfg.cond_frames   # DT sees the full clip
+    if time_axis is not None and clip_len % n_time:
         raise ValueError(
-            f"n_frames={g_cfg.n_frames} not divisible by the time axis "
+            f"clip length {clip_len} not divisible by the time axis "
             f"({n_time} shards)")
     inner = functools.partial(
         train_step_mod.train_step, g_cfg=g_cfg, ds_cfg=ds_cfg, dt_cfg=dt_cfg,

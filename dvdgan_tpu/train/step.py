@@ -116,6 +116,18 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
     in shard_map via parallel.make_parallel_train_step.
     """
     b, t = real.shape[:2]
+    # DVD-GAN-FP ([P] §3.2): the clip's first cond_frames are G's real
+    # prefix; G generates the remaining t_gen frames. DS samples frames
+    # from the GENERATED portion only; DT scores the full clip (real
+    # prefix + generated continuation for fakes).
+    cf = g_cfg.cond_frames
+    t_gen = t - cf
+    if t_gen != g_cfg.n_frames:
+        raise ValueError(
+            f"clip length {t} != cond_frames {cf} + n_frames "
+            f"{g_cfg.n_frames}")
+    cond = real[:, :cf] if cf else None
+    real_gen = real[:, cf:]
     k = ds_cfg.k_frames
     ka = tc.grad_accum
     if b % ka:
@@ -134,7 +146,7 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
             return jax.random.normal(keys[i], (b, g_cfg.z_dim), real.dtype)
 
         def draw_idx(i: int) -> jax.Array:
-            return sample_frame_indices(keys[i], b, t, k)
+            return sample_frame_indices(keys[i], b, t_gen, k)
     else:
         r = rng_shards
         if b % r:
@@ -150,7 +162,7 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
 
         def draw_idx(i: int) -> jax.Array:
             ix = jax.vmap(lambda kk: sample_frame_indices(
-                kk, b // r, t, k))(gkeys[:, i])
+                kk, b // r, t_gen, k))(gkeys[:, i])
             return ix.reshape(b, k)
 
     # ---- DT scoring: plain, or time-sharded CP (SURVEY §5.7) --------------
@@ -178,8 +190,10 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
                               update=False, compute_dtype=real.dtype)
     z_all = jnp.concatenate([draw_z(3 * i) for i in range(tc.d_steps)])
     y_all = jnp.tile(y, tc.d_steps)
+    cond_all = (jnp.tile(cond, (tc.d_steps, 1, 1, 1, 1)) if cf else None)
     fake_all, _ = generator.apply(g_sn, state["g"]["stats"], z_all, y_all,
-                                  g_cfg, train=True, axis_name=axis_name)
+                                  g_cfg, train=True, axis_name=axis_name,
+                                  cond_video=cond_all)
     fake_all = jax.lax.stop_gradient(fake_all)
 
     # ---------------------------------------------------- D phase ×d_steps --
@@ -188,10 +202,11 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
 
         idx_r = draw_idx(3 * i + 1)
         idx_f = draw_idx(3 * i + 2)
-        real_frames = take_frames(real, idx_r)
+        real_frames = take_frames(real_gen, idx_r)
         fake_frames = take_frames(fake, idx_f)
+        fake_full = jnp.concatenate([cond, fake], axis=1) if cf else fake
         real_half = resize.avg_pool_2x_video(real)
-        fake_half = resize.avg_pool_2x_video(fake)
+        fake_half = resize.avg_pool_2x_video(fake_full)
 
         def d_loss_fn(d_params, rf, ff, rh, fh, yy):
             ds_sn, ds_u = sn.sn_normalize(d_params["ds"],
@@ -247,24 +262,27 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
     dt_sn, _ = sn.sn_normalize(state["dt"]["params"], state["dt"]["sn_u"],
                                update=False, compute_dtype=real.dtype)
 
-    def g_loss_fn(g_params, z_j, idx_j, y_j):
+    def g_loss_fn(g_params, z_j, idx_j, y_j, cond_j=None):
         g_sn, g_u = sn.sn_normalize(g_params, state["g"]["sn_u"], update=True,
                                     compute_dtype=real.dtype)
         fake, g_stats = generator.apply(g_sn, state["g"]["stats"], z_j, y_j,
                                         g_cfg, train=True,
-                                        axis_name=axis_name)
+                                        axis_name=axis_name,
+                                        cond_video=cond_j)
         s_ds = discriminator.ds_apply(ds_sn, take_frames(fake, idx_j), y_j,
                                       ds_cfg)
-        s_dt = dt_score(dt_sn, resize.avg_pool_2x_video(fake), y_j)
+        dt_in = (jnp.concatenate([cond_j, fake], axis=1) if cf else fake)
+        s_dt = dt_score(dt_sn, resize.avg_pool_2x_video(dt_in), y_j)
         g_loss = losses.g_hinge(s_ds) + losses.g_hinge(s_dt)
         return g_loss, (g_u, g_stats)
 
     if ka == 1:
         (g_loss, (g_u, g_stats)), g_grads = (
             jax.value_and_grad(g_loss_fn, has_aux=True)(
-                state["g"]["params"], z_g, idx_g, y))
+                state["g"]["params"], z_g, idx_g, y, cond))
     else:
-        micro = tuple(_micro(x, ka) for x in (z_g, idx_g, y))
+        fields = (z_g, idx_g, y) + ((cond,) if cf else ())
+        micro = tuple(_micro(x, ka) for x in fields)
         g_grads, ls, auxes = _accum_grads(g_loss_fn, state["g"]["params"],
                                           micro, ka)
         g_loss = ls.mean()
@@ -304,10 +322,14 @@ def make_train_step(g_cfg: GConfig, ds_cfg: DSConfig, dt_cfg: DTConfig,
 
 
 def sample(g_params_ema: dict, g_stats: dict, sn_u: dict, z: jax.Array,
-           y: jax.Array, g_cfg: GConfig) -> jax.Array:
+           y: jax.Array, g_cfg: GConfig,
+           cond_video: Optional[jax.Array] = None) -> jax.Array:
     """Inference path (SURVEY §3.4): EMA weights, eval-mode BN (running
-    stats), SN applied with frozen u. Returns (B, T, H, W, 3) in [-1, 1]."""
+    stats), SN applied with frozen u. Returns (B, T, H, W, 3) in [-1, 1]
+    (the generated frames; for FP pass cond_video — the real prefix is not
+    re-emitted)."""
     g_sn, _ = sn.sn_normalize(g_params_ema, sn_u, update=False,
                               compute_dtype=z.dtype)
-    video, _ = generator.apply(g_sn, g_stats, z, y, g_cfg, train=False)
+    video, _ = generator.apply(g_sn, g_stats, z, y, g_cfg, train=False,
+                               cond_video=cond_video)
     return video

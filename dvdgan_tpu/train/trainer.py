@@ -84,6 +84,12 @@ class Trainer:
         n_show = min(4, cfg.batch_size)
         self.z_fixed = jax.random.normal(kz, (n_show, self.g_cfg.z_dim))
         self.y_fixed = jax.random.randint(ky, (n_show,), 0, cfg.n_classes)
+        # FP: a fixed real prefix from the dataset conditions the dumps
+        self.cond_fixed = None
+        if self.g_cfg.cond_frames > 0:
+            self.cond_fixed = jnp.asarray(np.stack(
+                [self.dataset[i][0][:self.g_cfg.cond_frames]
+                 for i in range(n_show)]))
         self._sample_jit = jax.jit(step_mod.sample, static_argnames=("g_cfg",))
 
     # ------------------------------------------------------------------ data
@@ -178,13 +184,19 @@ class Trainer:
         return {k: float(v) for k, v in metrics.items()} if metrics else {}
 
     # ---------------------------------------------------------------- sample
-    def sample(self, z=None, y=None):
-        """EMA-G inference (SURVEY §3.4). Returns (B, T, H, W, 3) in [-1,1]."""
+    def sample(self, z=None, y=None, cond=None):
+        """EMA-G inference (SURVEY §3.4). Returns (B, T, H, W, 3) in [-1,1]
+        — generated frames only; FP conditions on `cond` (default: the
+        fixed dataset prefix)."""
         st = self.state
         z = self.z_fixed if z is None else z
         y = self.y_fixed if y is None else y
+        if cond is None:
+            cond = (None if self.cond_fixed is None
+                    else self.cond_fixed[:z.shape[0]])
         return self._sample_jit(st["g_ema"], st["g"]["stats"],
-                                st["g"]["sn_u"], z, y, g_cfg=self.g_cfg)
+                                st["g"]["sn_u"], z, y, cond_video=cond,
+                                g_cfg=self.g_cfg)
 
     def dump_samples(self, step: int):
         videos = np.asarray(jax.device_get(self.sample()), np.float32)

@@ -33,7 +33,10 @@ class Config:
     n_classes: int = 101
     # model
     img_size: int = 64
-    n_frames: int = 16
+    n_frames: int = 16                # clip length loaded from data; with
+    #                                   cond_frames > 0, G generates
+    #                                   n_frames - cond_frames of them
+    cond_frames: int = 0              # DVD-GAN-FP: real prefix length
     z_dim: int = 120
     ch: int = 32
     d_ch: int = 32
@@ -70,15 +73,18 @@ class Config:
     # ---- derived model configs ------------------------------------------
     def g_config(self) -> GConfig:
         attn = self.attn_res if self.attn_res <= self.img_size // 2 else None
-        return GConfig(img_size=self.img_size, n_frames=self.n_frames,
+        return GConfig(img_size=self.img_size,
+                       n_frames=self.n_frames - self.cond_frames,
                        ch=self.ch, z_dim=self.z_dim,
                        n_classes=self.n_classes, emb_dim=self.emb_dim,
-                       attn_res=attn, remat=self.remat)
+                       attn_res=attn, remat=self.remat,
+                       cond_frames=self.cond_frames)
 
     def ds_config(self) -> DSConfig:
         return DSConfig(img_size=self.img_size, ch=self.d_ch,
                         n_classes=self.n_classes,
-                        k_frames=min(self.k_frames, self.n_frames))
+                        k_frames=min(self.k_frames,
+                                     self.n_frames - self.cond_frames))
 
     def dt_config(self) -> DTConfig:
         return DTConfig(img_size=self.img_size, n_frames=self.n_frames,

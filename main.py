@@ -47,8 +47,14 @@ def main(argv=None):
             kz, ky = jax.random.split(key)
             z = jax.random.normal(kz, (cfg.n_samples, cfg.z_dim))
             y = jax.random.randint(ky, (cfg.n_samples,), 0, cfg.n_classes)
-            videos = np.asarray(jax.device_get(trainer.sample(z, y)),
-                                np.float32)
+            cond = None
+            if cfg.cond_frames > 0:   # FP: condition on real prefixes
+                ds = trainer.dataset
+                cond = np.stack(
+                    [np.asarray(ds[i % len(ds)][0][:cfg.cond_frames],
+                                np.float32) for i in range(cfg.n_samples)])
+            videos = np.asarray(
+                jax.device_get(trainer.sample(z, y, cond=cond)), np.float32)
             out = os.path.join(cfg.out_dir, "samples")
             step = trainer.start_step
             save_video_grid_png(os.path.join(out, f"eval_{step}_grid.png"),
