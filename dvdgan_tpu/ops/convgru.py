@@ -103,8 +103,15 @@ def convgru(p: dict, x_seq: jax.Array, h0: jax.Array | None = None,
         h0 = jnp.zeros((b, h, w, c), x_seq.dtype)
 
     xf = x_seq.reshape(b * t, h, w, c)  # fold order matches input layout
-    gx = layers.conv2d(p["gates_x"], xf)
-    cx = layers.conv2d(p["cand_x"], xf)
+    # ONE fused input conv C -> 3C instead of two (2C and C): identical
+    # math by output-channel concatenation (each output channel's dot
+    # product is unchanged), but reads xf once and fills the MXU's
+    # 128-wide output lanes better at the narrow tail levels (3C=96 vs
+    # 64/32 at ch=32).
+    wcat = jnp.concatenate([p["gates_x"]["w"], p["cand_x"]["w"]], axis=-1)
+    bcat = jnp.concatenate([p["gates_x"]["b"], p["cand_x"]["b"]])
+    gcx = layers.conv2d({"w": wcat, "b": bcat}, xf)
+    gx, cx = gcx[..., :2 * c], gcx[..., 2 * c:]
     if time_major:
         gx = gx.reshape(t, b, h, w, 2 * c)
         cx = cx.reshape(t, b, h, w, c)

@@ -215,12 +215,17 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
             dt_sn, dt_u = sn.sn_normalize(d_params["dt"],
                                           state["dt"]["sn_u"], update=True,
                                           compute_dtype=real.dtype)
-            ds_r = discriminator.ds_apply(ds_sn, rf, yy, ds_cfg)
-            ds_f = discriminator.ds_apply(ds_sn, ff, yy, ds_cfg)
-            dt_r = dt_score(dt_sn, rh, yy)
-            dt_f = dt_score(dt_sn, fh, yy)
-            l_ds = losses.d_hinge(ds_r, ds_f)
-            l_dt = losses.d_hinge(dt_r, dt_f)
+            # real and fake share ONE forward per discriminator: D has no
+            # batch-coupled ops (no BN), so concat-then-split is exactly
+            # the two separate passes — at 2× the conv batch (better MXU
+            # fill at these widths) and half the op count
+            bb_ = rf.shape[0]
+            yy2 = jnp.concatenate([yy, yy])
+            ds_both = discriminator.ds_apply(
+                ds_sn, jnp.concatenate([rf, ff]), yy2, ds_cfg)
+            dt_both = dt_score(dt_sn, jnp.concatenate([rh, fh]), yy2)
+            l_ds = losses.d_hinge(ds_both[:bb_], ds_both[bb_:])
+            l_dt = losses.d_hinge(dt_both[:bb_], dt_both[bb_:])
             return l_ds + l_dt, (l_ds, l_dt, ds_u, dt_u)
 
         d_params = {"ds": state["ds"]["params"], "dt": state["dt"]["params"]}
