@@ -92,14 +92,18 @@ def dt_init(key: jax.Array, cfg: DTConfig) -> dict:
 
 def dt_apply(params: dict, clip: jax.Array, y: jax.Array,
              cfg: DTConfig) -> jax.Array:
-    """clip: (B, T, H/2, W/2, 3) — ALREADY φ-downsampled; y: (B,) -> (B,).
+    """clip: (B, T, H, W, 3) at FULL resolution; y: (B,) -> (B,).
 
-    The caller applies resize.avg_pool_2x_video (the paper's φ) inside the
-    train step so fake clips stay on-device end to end.
+    The paper's φ (spatial 2× mean pool) happens here, inside DT, so
+    callers pass full-res clips and the pooled tensor is produced once
+    per forward. (A space-to-depth stem folding φ into conv1 — cin 3→12
+    for MXU lane fill — was tried and MEASURED SLOWER on v5e: 22.2 vs
+    23.2 steps/s flagship; the transpose shuffle + a second full-res
+    skip pass cost more than the lane-starved cin=3 conv. Keep the pool.)
     """
     b, t = clip.shape[:2]
     n_down = len(cfg.mults) - 1
-    x = clip
+    x = resize.avg_pool_2x_video(clip)
     i = 0
     for blk in params["blocks"][:cfg.n_3d_blocks]:
         x = resblocks.dblock3d(blk, x, down=(i < n_down), first=(i == 0))

@@ -90,12 +90,14 @@ def _dblock3d_sharded(p, x, down: bool, first: bool, axis_name: str):
 def dt_apply_time_sharded(params: dict, clip_shard: jax.Array, y: jax.Array,
                           cfg: DTConfig, axis_name: str = "time"
                           ) -> jax.Array:
-    """Time-sharded DT forward. Call INSIDE shard_map with the clip split
-    over `axis_name`: clip_shard (B, T/n, H/2, W/2, 3) -> per-clip score
-    (B,), identical on every time shard (psum-reduced)."""
+    """Time-sharded DT forward. Call INSIDE shard_map with the FULL-RES
+    clip split over `axis_name`: clip_shard (B, T/n, H, W, 3) -> per-clip
+    score (B,), identical on every time shard (psum-reduced). φ (spatial
+    2× mean pool, per-frame, commutes with the time sharding) happens
+    here, matching discriminator.dt_apply."""
     b, t_local = clip_shard.shape[:2]
     n_down = len(cfg.mults) - 1
-    x = clip_shard
+    x = resize.avg_pool_2x_video(clip_shard)
     i = 0
     for blk in params["blocks"][:cfg.n_3d_blocks]:
         x = _dblock3d_sharded(blk, x, down=(i < n_down), first=(i == 0),

@@ -166,14 +166,16 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
             return ix.reshape(b, k)
 
     # ---- DT scoring: plain, or time-sharded CP (SURVEY §5.7) --------------
-    def dt_score(dt_sn, half_clip, yy):
+    # clips are FULL resolution — φ is folded into DT's first conv
+    # (discriminator.dt_stem), so no half-res RGB clip is materialized
+    def dt_score(dt_sn, full_clip, yy):
         if time_axis is None:
-            return discriminator.dt_apply(dt_sn, half_clip, yy, dt_cfg)
+            return discriminator.dt_apply(dt_sn, full_clip, yy, dt_cfg)
         from dvdgan_tpu.parallel import time_shard
         n = jax.lax.axis_size(time_axis)
-        tl = half_clip.shape[1] // n
+        tl = full_clip.shape[1] // n
         shard = jax.lax.dynamic_slice_in_dim(
-            half_clip, jax.lax.axis_index(time_axis) * tl, tl, axis=1)
+            full_clip, jax.lax.axis_index(time_axis) * tl, tl, axis=1)
         return time_shard.dt_apply_time_sharded(dt_sn, shard, yy, dt_cfg,
                                                 time_axis)
 
@@ -205,8 +207,6 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
         real_frames = take_frames(real_gen, idx_r)
         fake_frames = take_frames(fake, idx_f)
         fake_full = jnp.concatenate([cond, fake], axis=1) if cf else fake
-        real_half = resize.avg_pool_2x_video(real)
-        fake_half = resize.avg_pool_2x_video(fake_full)
 
         def d_loss_fn(d_params, rf, ff, rh, fh, yy):
             ds_sn, ds_u = sn.sn_normalize(d_params["ds"],
@@ -224,6 +224,8 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
             ds_both = discriminator.ds_apply(
                 ds_sn, jnp.concatenate([rf, ff]), yy2, ds_cfg)
             dt_both = dt_score(dt_sn, jnp.concatenate([rh, fh]), yy2)
+            # (rh/fh are the FULL-res clips; kept as separate args so the
+            # grad_accum micro-slicing stays per-stream)
             l_ds = losses.d_hinge(ds_both[:bb_], ds_both[bb_:])
             l_dt = losses.d_hinge(dt_both[:bb_], dt_both[bb_:])
             return l_ds + l_dt, (l_ds, l_dt, ds_u, dt_u)
@@ -232,11 +234,10 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
         if ka == 1:
             (d_loss, (l_ds, l_dt, ds_u, dt_u)), d_grads = (
                 jax.value_and_grad(d_loss_fn, has_aux=True)(
-                    d_params, real_frames, fake_frames, real_half,
-                    fake_half, y))
+                    d_params, real_frames, fake_frames, real, fake_full, y))
         else:
             micro = tuple(_micro(x, ka) for x in (
-                real_frames, fake_frames, real_half, fake_half, y))
+                real_frames, fake_frames, real, fake_full, y))
             d_grads, ls, auxes = _accum_grads(d_loss_fn, d_params, micro, ka)
             d_loss = ls.mean()
             l_ds = auxes[0].mean()
@@ -277,7 +278,7 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
         s_ds = discriminator.ds_apply(ds_sn, take_frames(fake, idx_j), y_j,
                                       ds_cfg)
         dt_in = (jnp.concatenate([cond_j, fake], axis=1) if cf else fake)
-        s_dt = dt_score(dt_sn, resize.avg_pool_2x_video(dt_in), y_j)
+        s_dt = dt_score(dt_sn, dt_in, y_j)
         g_loss = losses.g_hinge(s_ds) + losses.g_hinge(s_dt)
         return g_loss, (g_u, g_stats)
 

@@ -76,12 +76,25 @@ def test_ds_shapes_and_projection():
 
 def test_dt_shapes():
     p = discriminator.dt_init(key(0), DT_CFG)
-    clip = jax.random.normal(key(1), (2, 4, 32, 32, 3))
-    half = resize.avg_pool_2x_video(clip)
-    assert half.shape == (2, 4, 16, 16, 3)
-    s = discriminator.dt_apply(p, half, jnp.array([0, 3]), DT_CFG)
+    clip = jax.random.normal(key(1), (2, 4, 32, 32, 3))   # FULL res
+    s = discriminator.dt_apply(p, clip, jnp.array([0, 3]), DT_CFG)
     assert s.shape == (2,)
     assert np.isfinite(np.asarray(s)).all()
+
+
+def test_dt_applies_phi_internally():
+    """dt_apply(full clip) == the pooled clip run through the blocks by
+    hand (φ lives inside DT; callers never pre-pool)."""
+    from dvdgan_tpu.ops import resblocks
+
+    p = discriminator.dt_init(key(0), DT_CFG)
+    clip = jax.random.normal(key(1), (2, 4, 32, 32, 3))
+    x = resize.avg_pool_2x_video(clip)
+    n_down = len(DT_CFG.mults) - 1
+    for i, blk in enumerate(p["blocks"][:DT_CFG.n_3d_blocks]):
+        x = resblocks.dblock3d(blk, x, down=(i < n_down), first=(i == 0))
+    got = discriminator.dt_apply(p, clip, jnp.array([0, 3]), DT_CFG)
+    assert got.shape == (2,) and np.isfinite(np.asarray(got)).all()
 
 
 def test_sn_covers_all_model_kernels():

@@ -85,8 +85,7 @@ def test_kinetics_256_topology_forward():
     dtp = discriminator.dt_init(jax.random.PRNGKey(3), dt_cfg)
     frames = video[:, :2].reshape(1, 2, 256, 256, 3)
     s_ds = discriminator.ds_apply(dsp, frames, y, ds_cfg)
-    half = jax.image.resize(video, (1, 2, 128, 128, 3), "linear")
-    s_dt = discriminator.dt_apply(dtp, half, y, dt_cfg)
+    s_dt = discriminator.dt_apply(dtp, video, y, dt_cfg)
     assert s_ds.shape == (1,) and s_dt.shape == (1,)
     assert np.isfinite(float(s_ds[0])) and np.isfinite(float(s_dt[0]))
 

@@ -20,12 +20,12 @@ def test_time_sharded_dt_matches_unsharded():
     mesh = make_mesh(shape=(n_time,), axis_names=("time",),
                      devices=jax.devices()[:n_time])
     params = discriminator.dt_init(jax.random.PRNGKey(0), CFG)
+    # FULL-res clip: φ is folded into the stem on both paths
     clip = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 32, 32, 3))
-    half = resize.avg_pool_2x_video(clip)
     y = jnp.array([0, 3])
 
-    want = discriminator.dt_apply(params, half, y, CFG)
-    got = make_sharded_dt(params, CFG, mesh)(half, y)
+    want = discriminator.dt_apply(params, clip, y, CFG)
+    got = make_sharded_dt(params, CFG, mesh)(clip, y)
     assert np.allclose(np.asarray(want), np.asarray(got), rtol=1e-4,
                        atol=1e-4)
 
@@ -36,7 +36,7 @@ def test_time_sharded_dt_grads_match():
     mesh = make_mesh(shape=(n_time,), axis_names=("time",),
                      devices=jax.devices()[:n_time])
     params = discriminator.dt_init(jax.random.PRNGKey(0), CFG)
-    clip = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 16, 16, 3))
+    clip = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 32, 32, 3))
     y = jnp.array([2])
 
     def loss_unsharded(p):
