@@ -22,18 +22,55 @@ import numpy as np
 from dvdgan_tpu import native
 
 _IMG_EXT = (".jpg", ".jpeg", ".png", ".bmp")
+_VIDEO_EXT = (".mp4", ".avi", ".mov", ".mkv", ".webm", ".gif")
+
+
+def _video_reader():
+    """Plugin-detect an in-pipeline video decoder (SURVEY §2.12: the
+    reference loads 'frame dirs or video files'). Returns a
+    `path -> (T, H, W, 3) uint8` callable or None when no codec-capable
+    backend exists (this sandbox), in which case raw videos must go
+    through the offline tools/extract_frames.py pass."""
+    try:
+        import imageio.v3 as iio
+
+        def read(path):
+            arr = np.asarray(iio.imread(path, plugin=None))
+            if arr.ndim == 3:          # single frame
+                arr = arr[None]
+            if arr.shape[-1] == 4:     # RGBA gifs
+                arr = arr[..., :3]
+            return np.ascontiguousarray(arr[..., :3].astype(np.uint8))
+        return read
+    except Exception:
+        return None
+
+
+_READ_VIDEO = _video_reader()
 
 
 def _list_videos(root: str) -> Tuple[List[Tuple[str, int]], List[str]]:
     classes = sorted(d for d in os.listdir(root)
                      if os.path.isdir(os.path.join(root, d)))
     items: List[Tuple[str, int]] = []
+    skipped_raw = 0
     for li, cname in enumerate(classes):
         cdir = os.path.join(root, cname)
         for v in sorted(os.listdir(cdir)):
             path = os.path.join(cdir, v)
             if os.path.isdir(path) or v.endswith(".npy"):
                 items.append((path, li))
+            elif v.lower().endswith(_VIDEO_EXT):
+                if _READ_VIDEO is not None:
+                    items.append((path, li))
+                else:
+                    skipped_raw += 1
+    if skipped_raw:
+        import warnings
+        warnings.warn(
+            f"{skipped_raw} raw video files skipped: no decode backend "
+            "(install imageio+ffmpeg, or pre-extract with "
+            "tools/extract_frames.py)")
     return items, classes
 
 
@@ -44,6 +81,10 @@ def _load_frames_u8(path: str) -> np.ndarray:
         if arr.dtype != np.uint8:
             arr = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
         return arr
+    if path.lower().endswith(_VIDEO_EXT):
+        if _READ_VIDEO is None:
+            raise RuntimeError(f"no video decode backend for {path}")
+        return _READ_VIDEO(path)
     from PIL import Image
     frames = sorted(f for f in os.listdir(path)
                     if f.lower().endswith(_IMG_EXT))

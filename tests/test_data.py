@@ -140,3 +140,24 @@ def test_loader_threads_actually_parallelize():
         assert np.array_equal(cs, cp) and np.array_equal(ls, lp)
     # 4 batches × 8 items × 10 ms = 320 ms serial; pooled should be < half
     assert dt_pooled < 0.16, f"pooled epoch took {dt_pooled:.3f}s"
+
+
+def test_frame_folder_video_files(tmp_path):
+    """In-pipeline video decode (SURVEY 2.12 'frame dirs or video files'):
+    a .gif clip decodes through the plugin-detected imageio backend and
+    flows through the same native window/crop/resize path."""
+    from PIL import Image
+
+    vdir = tmp_path / "classB"
+    vdir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    frames = [Image.fromarray(rng.randint(0, 255, (24, 32, 3), dtype=np.uint8))
+              for _ in range(6)]
+    frames[0].save(vdir / "vid0.gif", save_all=True,
+                   append_images=frames[1:])
+    ds = FrameFolderDataset(str(tmp_path), n_frames=4, img_size=16)
+    assert len(ds) == 1
+    clip, label = ds[0]
+    assert clip.shape == (4, 16, 16, 3) and label == 0
+    assert clip.min() >= -1.0 and clip.max() <= 1.0
+    assert clip.std() > 0.1
