@@ -56,11 +56,22 @@ class Loader:
         clips, labels = zip(*items)
         return np.stack(clips), np.asarray(labels, np.int32)
 
-    def epoch(self, epoch: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """One pass over the data with background prefetch."""
+    def batches_per_epoch(self) -> int:
+        n = len(self.ds)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def epoch(self, epoch: int = 0, start_batch: int = 0
+              ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """One pass over the data with background prefetch; `start_batch`
+        skips the first batches (within-epoch resume: the shuffle order is
+        a pure function of (seed, epoch), so skipping replays exactly the
+        stream an uninterrupted run would have produced)."""
         idx = self._epoch_indices(epoch)
         batches = [idx[i:i + self.batch_size]
                    for i in range(0, len(idx), self.batch_size)]
+        batches = batches[start_batch:]
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -84,10 +95,12 @@ class Loader:
         finally:
             stop.set()
 
-    def forever(self, start_epoch: int = 0
+    def forever(self, start_epoch: int = 0, start_batch: int = 0
                 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Endless stream (the reference's `while True: next(loader)`)."""
+        """Endless stream (the reference's `while True: next(loader)`);
+        (start_epoch, start_batch) resumes mid-stream exactly."""
         e = start_epoch
         while True:
-            yield from self.epoch(e)
+            yield from self.epoch(e, start_batch)
+            start_batch = 0
             e += 1

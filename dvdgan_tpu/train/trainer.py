@@ -125,13 +125,15 @@ class Trainer:
         if c.nan_check:
             jax.config.update("jax_debug_nans", True)
         total = total_step if total_step is not None else c.total_step
-        # resume the data stream near where it left off: epoch inferred
-        # from the restored step (the reference loses the loader position
-        # entirely on resume, SURVEY §3.5; exact within-epoch position is
-        # not tracked, but the shuffle sequence continues)
-        batches_per_epoch = max(len(self.dataset) // c.batch_size, 1)
-        data = self.loader.forever(
-            start_epoch=self.start_step // batches_per_epoch)
+        # resume the data stream EXACTLY where it left off: position is a
+        # pure function of the restored step (one batch per step; shuffle
+        # order is a pure function of (seed, epoch)), so an interrupted
+        # run replays the identical batch sequence the uninterrupted run
+        # would have seen. (The reference loses the loader position
+        # entirely on resume, SURVEY §3.5.)
+        bpe = max(self.loader.batches_per_epoch(), 1)
+        data = self.loader.forever(start_epoch=self.start_step // bpe,
+                                   start_batch=self.start_step % bpe)
         metrics = {}
         lagged = None   # (step, metrics) from log_step ago: fetching them is
         #                 free (that step already finished) so the log-step
