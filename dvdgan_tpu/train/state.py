@@ -39,6 +39,11 @@ class TrainConfig:
     # updates stay exactly full-batch; G recomputes per micro-batch with
     # per-micro BN stats). Needed for preset 4's global batch 512.
     grad_accum: int = 1
+    # D-phase fake generation: "pooled" = ONE G forward for all d_steps
+    # batches (CBN stats pool across them — faster, the framework
+    # default); "per_step" = one forward per D step (the reference's
+    # per-batch stats). A/B'd on-chip — see train/step.py docstring.
+    fake_gen: str = "pooled"
 
 
 def g_optimizer(tc: TrainConfig) -> optax.GradientTransformation:

@@ -51,6 +51,7 @@ class Config:
     beta2: float = 0.999
     d_steps: int = 2
     grad_accum: int = 1               # micro-batches per update (preset 4)
+    fake_gen: str = "pooled"          # pooled | per_step (BN stats; A/B'd)
     ema_decay: float = 0.9999
     ema_start: int = 1000
     total_step: int = 100000
@@ -96,7 +97,8 @@ class Config:
                            ema_decay=self.ema_decay,
                            ema_start=self.ema_start,
                            batch_size=self.batch_size,
-                           grad_accum=self.grad_accum)
+                           grad_accum=self.grad_accum,
+                           fake_gen=self.fake_gen)
 
 
 # The five driver configs (BASELINE.json .configs), as named presets.

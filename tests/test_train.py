@@ -129,3 +129,32 @@ def test_grad_accum_d_phase_exact_and_g_runs():
     # and the per-micro-BN deviation stays small at init
     for la, lb in zip(g1, gk):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=5e-4)
+
+
+def test_per_step_fake_gen_mode():
+    """fake_gen='per_step' (the reference's per-forward CBN stats) runs and
+    matches 'pooled' when d_steps == 1 (single batch: pooling is a no-op,
+    so the two modes must be identical)."""
+    import dataclasses
+
+    tc1 = TrainConfig(d_steps=1, batch_size=2, ema_start=0)
+    tcp = dataclasses.replace(tc1, fake_gen="per_step")
+    st0 = create(jax.random.PRNGKey(0), G_CFG, DS_CFG, DT_CFG, tc1)
+    rng = np.random.RandomState(0)
+    real = jnp.asarray(rng.randn(2, 4, 32, 32, 3), jnp.float32)
+    y = jnp.asarray([0, 3], jnp.int32)
+    key = jax.random.PRNGKey(9)
+    s1, m1 = make_train_step(G_CFG, DS_CFG, DT_CFG, tc1, donate=False)(
+        st0, real, y, key)
+    s2, m2 = make_train_step(G_CFG, DS_CFG, DT_CFG, tcp, donate=False)(
+        st0, real, y, key)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    # d_steps=2: per_step must still run finite (stats differ by design)
+    tc2 = TrainConfig(d_steps=2, batch_size=2, ema_start=0,
+                      fake_gen="per_step")
+    st2 = create(jax.random.PRNGKey(0), G_CFG, DS_CFG, DT_CFG, tc2)
+    _, m = make_train_step(G_CFG, DS_CFG, DT_CFG, tc2, donate=False)(
+        st2, real, y, key)
+    assert all(np.isfinite(float(v)) for v in m.values())
