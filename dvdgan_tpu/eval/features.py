@@ -75,6 +75,38 @@ def _i3d_like_apply(params: dict, video: jax.Array) -> jax.Array:
     return x.mean(axis=(1, 2, 3))
 
 
+class InceptionFeatures:
+    """Real Inception-v3 FRAME extractor for FID / frame-IS:
+    (B, T, H, W, 3)[-1,1] -> (B·T, D) per-frame features (callers fold the
+    time axis; FID pools all frames, the published frame-level protocol).
+
+    feature: "pool" (2048-d, the published-FID embedding) or "logits"
+    (1000-d). `pretrained` is True only when converted weights loaded
+    (tools/convert_inception_weights.py) — random-init numbers are NOT
+    published-comparable.
+    """
+
+    def __init__(self, weights_npz: Optional[str] = None, seed: int = 0,
+                 feature: str = "pool", resize: Optional[int] = 299):
+        from dvdgan_tpu.eval import inception as iv3
+        if feature not in iv3.FEATURE_DIMS:
+            raise ValueError(f"feature must be one of {list(iv3.FEATURE_DIMS)}")
+        self._iv3 = iv3
+        self.pretrained = weights_npz is not None
+        self.params = (iv3.load_npz(weights_npz) if weights_npz
+                       else iv3.init(jax.random.PRNGKey(seed)))
+        self.feature = feature
+        self.resize = resize
+
+    def __call__(self, video) -> np.ndarray:
+        v = jnp.asarray(video, jnp.float32)
+        if v.ndim == 5:                       # fold clips to frames
+            v = v.reshape(-1, *v.shape[2:])
+        feats = self._iv3.apply(self.params, v, feature=self.feature,
+                                resize=self.resize)
+        return np.asarray(jax.device_get(feats), np.float64)
+
+
 class I3DLikeFeatures:
     def __init__(self, seed: int = 0, widths=(64, 128, 256, 512)):
         self.params = _i3d_like_init(jax.random.PRNGKey(seed), widths)

@@ -42,6 +42,13 @@ def fvd(real_feats: np.ndarray, fake_feats: np.ndarray) -> float:
     return frechet_from_features(real_feats, fake_feats)
 
 
+def fid(real_frame_feats: np.ndarray, fake_frame_feats: np.ndarray) -> float:
+    """Fréchet Inception Distance over per-frame features (N·T, D) — same
+    Fréchet math as FVD, frame-level embedding (paper's Kinetics IS/FID
+    protocol uses frame statistics)."""
+    return frechet_from_features(real_frame_feats, fake_frame_feats)
+
+
 def inception_score(probs: np.ndarray, n_splits: int = 10
                     ) -> tuple[float, float]:
     """IS = exp(E_x KL(p(y|x) || p(y))) over `n_splits` splits -> (mean, std).
@@ -59,7 +66,8 @@ def inception_score(probs: np.ndarray, n_splits: int = 10
 
 def evaluate_generator(trainer, extractor: Callable, n_samples: int = 256,
                        batch_size: int = 16,
-                       classifier: Optional[Callable] = None) -> dict:
+                       classifier: Optional[Callable] = None,
+                       frame_extractor: Optional[Callable] = None) -> dict:
     """End-to-end eval loop: EMA-G samples vs the trainer's dataset.
     Returns {"fvd": ..., ["is_mean","is_std"]}.
 
@@ -76,8 +84,12 @@ def evaluate_generator(trainer, extractor: Callable, n_samples: int = 256,
     n = min(n_samples, len(ds))
     real_feats = extract_features(
         extractor, (ds[i][0] for i in range(n)), batch_size)
+    real_frame_feats = (extract_features(
+        frame_extractor, (ds[i][0] for i in range(n)), batch_size)
+        if frame_extractor is not None else None)
 
     fake_feats = []
+    fake_frame_feats = []
     probs = []
     key = jax.random.PRNGKey(trainer.cfg.seed + 1234)
     done = 0
@@ -98,10 +110,14 @@ def evaluate_generator(trainer, extractor: Callable, n_samples: int = 256,
             fake = np.asarray(jax.device_get(trainer.sample(z, y)),
                               np.float32)
         fake_feats.append(extractor(fake))
+        if frame_extractor is not None:
+            fake_frame_feats.append(frame_extractor(fake))
         if classifier is not None:
             probs.append(classifier(fake))
         done += b
     out = {"fvd": fvd(real_feats, np.concatenate(fake_feats))}
+    if frame_extractor is not None:
+        out["fid"] = fid(real_frame_feats, np.concatenate(fake_frame_feats))
     if probs:
         m, s = inception_score(np.concatenate(probs))
         out.update(is_mean=m, is_std=s)

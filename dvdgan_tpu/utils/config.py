@@ -27,6 +27,9 @@ class Config:
     #                                   (tools/convert_i3d_weights.py);
     #                                   empty = random-init extractor,
     #                                   labeled non-comparable in the output
+    inception_weights: str = ""       # converted Inception-v3 npz for
+    #                                   published frame-FID
+    #                                   (tools/convert_inception_weights.py)
     # data
     dataset: str = "synthetic"        # synthetic | frames
     data_path: str = ""

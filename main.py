@@ -65,13 +65,19 @@ def main(argv=None):
             import json
             from dvdgan_tpu.eval import (ClassifierProbs, I3DFeatures,
                                          evaluate_generator)
+            from dvdgan_tpu.eval import InceptionFeatures
             fx = I3DFeatures(weights_npz=cfg.i3d_weights or None, seed=0)
+            fx2d = InceptionFeatures(
+                weights_npz=cfg.inception_weights or None, seed=0)
             clf = ClassifierProbs(cfg.n_classes, seed=1)
             out = evaluate_generator(trainer, fx, n_samples=cfg.n_samples,
-                                     classifier=clf)
+                                     classifier=clf, frame_extractor=fx2d)
             out["extractor"] = ("i3d-kinetics400" if fx.pretrained
                                 else "i3d-random-init")
             out["fvd_published_comparable"] = fx.pretrained
+            out["frame_extractor"] = ("inception-v3" if fx2d.pretrained
+                                      else "inception-v3-random-init")
+            out["fid_published_comparable"] = fx2d.pretrained
             print(json.dumps(out))
         else:
             metrics = trainer.train()

@@ -113,3 +113,23 @@ def test_evaluate_generator_end_to_end(tmp_path):
     tr.close()
     assert np.isfinite(out["fvd"]) and out["fvd"] >= 0
     assert 1.0 <= out["is_mean"] <= 3.0 + 1e-6
+
+
+def test_frame_fid_in_eval_harness(tmp_path):
+    """evaluate_generator computes frame-level FID alongside FVD when a
+    frame extractor is supplied (paper's Kinetics IS/FID protocol)."""
+    from dvdgan_tpu.eval import InceptionFeatures, evaluate_generator
+    from dvdgan_tpu.train.trainer import Trainer
+    from dvdgan_tpu.utils.config import Config
+
+    cfg = Config(dataset="synthetic", n_classes=3, img_size=32, n_frames=4,
+                 ch=8, d_ch=8, k_frames=2, batch_size=2, d_steps=1,
+                 total_step=0, bf16=False, out_dir=str(tmp_path / "run"))
+    tr = Trainer(cfg)
+    fx = I3DLikeFeatures(seed=0, widths=(8, 16))
+    fx2d = InceptionFeatures(seed=0, resize=75)
+    out = evaluate_generator(tr, fx, n_samples=4, batch_size=2,
+                             frame_extractor=fx2d)
+    tr.close()
+    assert np.isfinite(out["fvd"]) and np.isfinite(out["fid"])
+    assert out["fid"] >= 0

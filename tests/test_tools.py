@@ -99,3 +99,62 @@ def test_load_npz_rejects_shape_mismatch(tmp_path):
     np.savez(out, **arrays)
     with pytest.raises(ValueError, match="topology"):
         i3d.load_npz(out)
+
+
+# --------------------------------------------- Inception-v3 (frame FID) ----
+
+from dvdgan_tpu.eval import InceptionFeatures, inception as iv3
+from tools.convert_inception_weights import convert as convert_iv3
+
+
+def _fake_torchvision_sd(rng):
+    """A torchvision-inception_v3-style state_dict (correct names/shapes)."""
+    sd = {}
+    for key, shape in iv3.param_shapes().items():
+        if key == "fc/w":
+            sd["fc.weight"] = rng.randn(shape[1], shape[0]).astype(np.float32) * 0.02
+        elif key == "fc/b":
+            sd["fc.bias"] = rng.randn(*shape).astype(np.float32)
+        elif key.endswith("/w"):
+            unit = key[:-2].replace("/", ".")
+            w = rng.randn(*shape).astype(np.float32) * 0.05
+            sd[f"{unit}.conv.weight"] = w.transpose(3, 2, 0, 1)  # HWIO->OIHW
+        else:
+            unit, leaf = key.split("/bn/")
+            t = {"scale": "weight", "offset": "bias", "mean": "running_mean",
+                 "var": "running_var"}[leaf]
+            v = rng.rand(*shape).astype(np.float32)
+            if t == "running_var":
+                v += 0.5
+            sd[f"{unit.replace('/', '.')}.bn.{t}"] = v
+    return sd
+
+
+def test_inception_param_count_is_torchvision():
+    # inception_v3 without the aux head: ~23.9M params (27.2M - 3.4M aux)
+    n = iv3.n_params()
+    assert 23_000_000 < n < 24_500_000, n
+
+
+def test_convert_inception_and_run(tmp_path):
+    rng = np.random.RandomState(0)
+    sd = _fake_torchvision_sd(rng)
+    out = str(tmp_path / "iv3.npz")
+    n = convert_iv3(sd, out)
+    assert n == len(iv3.param_shapes())
+
+    fx = InceptionFeatures(weights_npz=out, resize=75)
+    assert fx.pretrained
+    v = rng.rand(2, 3, 64, 64, 3).astype(np.float32) * 2 - 1
+    f = fx(v)                       # clips fold to frames
+    assert f.shape == (6, 2048) and np.isfinite(f).all()
+
+    loaded = np.load(out)
+    want = sd["Mixed_6b.branch7x7_2.conv.weight"].transpose(2, 3, 1, 0)
+    assert np.array_equal(loaded["Mixed_6b/branch7x7_2/w"], want)
+
+
+def test_convert_inception_rejects_wrong_arch(tmp_path):
+    sd = {"conv1.conv.weight": np.zeros((8, 3, 3, 3), np.float32)}
+    with pytest.raises(ValueError, match="does not map"):
+        convert_iv3(sd, str(tmp_path / "bad.npz"))
