@@ -117,6 +117,30 @@ class I3DLikeFeatures:
         return np.asarray(jax.device_get(feats), np.float64)
 
 
+class I3DClassifierProbs:
+    """(B, T, H, W, 3) -> (B, 400) softmax of I3D Kinetics-400 logits — the
+    published video-IS classifier (DVD-GAN's Kinetics IS protocol). With no
+    weights it runs at a fixed random init (`pretrained=False`): numbers are
+    then self-consistent but NOT published-comparable."""
+
+    def __init__(self, weights_npz: Optional[str] = None, seed: int = 0,
+                 resize: Optional[int] = 224,
+                 feature_extractor: Optional["I3DFeatures"] = None):
+        if feature_extractor is not None:    # share one on-device I3D
+            if feature_extractor.feature != "logits":
+                raise ValueError("IS needs the 400-way logits head")
+            self.fx = feature_extractor
+        else:
+            self.fx = I3DFeatures(weights_npz, seed, feature="logits",
+                                  resize=resize)
+        self.pretrained = self.fx.pretrained
+
+    def __call__(self, video) -> np.ndarray:
+        logits = self.fx(video)                       # (B, 400) float64
+        e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        return e / e.sum(axis=-1, keepdims=True)
+
+
 class ClassifierProbs:
     """(B, T, H, W, 3) -> (B, n_classes) softmax probs for IS."""
 

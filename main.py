@@ -10,12 +10,16 @@ Modes:
   --mode sample  load the checkpoint and dump --n_samples EMA-G clips as
                  GIFs + a grid PNG (the reference's test/sample entry,
                  SURVEY §3.4)
-  --mode eval    FVD (+IS) of EMA-G samples vs the dataset (SURVEY §2.17),
-                 using the genuine I3D topology (eval/i3d.py). Pass
-                 --i3d_weights <npz> (from tools/convert_i3d_weights.py)
-                 for published-comparable FVD; without weights the
-                 extractor runs at a fixed random init and the output JSON
-                 carries "fvd_published_comparable": false.
+  --mode eval    FVD + video-IS + frame-FID of EMA-G samples vs the dataset
+                 (SURVEY §2.17). FVD/IS use the genuine I3D topology
+                 (eval/i3d.py): pass --i3d_weights <npz> (from
+                 tools/convert_i3d_weights.py) for published-comparable
+                 numbers (IS = softmax of the Kinetics-400 logits).
+                 Frame-FID uses real Inception-v3 (eval/inception.py):
+                 pass --inception_weights <npz> (from
+                 tools/convert_inception_weights.py). Without weights the
+                 extractors run at a fixed random init and the output JSON
+                 carries *_published_comparable: false.
 """
 
 from __future__ import annotations
@@ -63,18 +67,21 @@ def main(argv=None):
             print(f"wrote {cfg.n_samples} samples to {out}")
         elif cfg.mode == "eval":
             import json
-            from dvdgan_tpu.eval import (ClassifierProbs, I3DFeatures,
+            from dvdgan_tpu.eval import (I3DClassifierProbs, I3DFeatures,
+                                         InceptionFeatures,
                                          evaluate_generator)
-            from dvdgan_tpu.eval import InceptionFeatures
             fx = I3DFeatures(weights_npz=cfg.i3d_weights or None, seed=0)
             fx2d = InceptionFeatures(
                 weights_npz=cfg.inception_weights or None, seed=0)
-            clf = ClassifierProbs(cfg.n_classes, seed=1)
+            # published video-IS = softmax of I3D Kinetics-400 logits;
+            # shares params with fx so no second I3D lives on-device
+            clf = I3DClassifierProbs(feature_extractor=fx)
             out = evaluate_generator(trainer, fx, n_samples=cfg.n_samples,
                                      classifier=clf, frame_extractor=fx2d)
             out["extractor"] = ("i3d-kinetics400" if fx.pretrained
                                 else "i3d-random-init")
             out["fvd_published_comparable"] = fx.pretrained
+            out["is_published_comparable"] = clf.pretrained
             out["frame_extractor"] = ("inception-v3" if fx2d.pretrained
                                       else "inception-v3-random-init")
             out["fid_published_comparable"] = fx2d.pretrained

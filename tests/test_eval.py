@@ -69,6 +69,25 @@ def test_i3d_real_topology_random_init():
     assert f2.shape == (2, 1024) and np.isfinite(f2).all()
 
 
+def test_i3d_classifier_probs():
+    """Published video-IS classifier: softmax of the shared I3D's 400-way
+    Kinetics logits; probs normalize; extractor sharing is enforced."""
+    import pytest
+    from dvdgan_tpu.eval import I3DClassifierProbs, I3DFeatures
+
+    fx = I3DFeatures(seed=0, resize=None)
+    cp = I3DClassifierProbs(feature_extractor=fx)
+    assert not cp.pretrained
+    v = np.random.RandomState(1).rand(2, 8, 32, 32, 3).astype(np.float32)
+    p = cp(v)
+    assert p.shape == (2, 400) and np.isfinite(p).all()
+    np.testing.assert_allclose(p.sum(axis=-1), 1.0, rtol=1e-12)
+
+    fx_pool = I3DFeatures(seed=0, feature="avgpool", resize=None)
+    with pytest.raises(ValueError, match="logits"):
+        I3DClassifierProbs(feature_extractor=fx_pool)
+
+
 def test_extract_features_batching():
     fx = I3DLikeFeatures(seed=0, widths=(8, 16))
     clips = [np.zeros((4, 16, 16, 3), np.float32) for _ in range(5)]
