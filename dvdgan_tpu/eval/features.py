@@ -117,6 +117,68 @@ class I3DLikeFeatures:
         return np.asarray(jax.device_get(feats), np.float64)
 
 
+class C3DFeatures:
+    """Real-C3D extractor: (B, T, H, W, 3)[-1,1] -> (B, D).
+
+    The published UCF-101 IS protocol network (16-frame clips at 112×112,
+    101-way UCF fine-tune). Clips are windowed to exactly 16 frames here
+    (center-crop if longer, loop-tile if shorter). Protocol mean/BGR
+    handling ships inside the weights npz (tools/convert_c3d_weights.py).
+    """
+
+    def __init__(self, weights_npz: Optional[str] = None, seed: int = 0,
+                 feature: str = "logits", resize: Optional[int] = 112):
+        from dvdgan_tpu.eval import c3d
+        if feature not in c3d.FEATURE_DIMS:
+            raise ValueError(f"feature must be one of {list(c3d.FEATURE_DIMS)}")
+        self._c3d = c3d
+        self.pretrained = weights_npz is not None
+        if weights_npz:
+            self.params, self.input_mean, self.input_bgr = \
+                c3d.load_npz(weights_npz)
+        else:
+            self.params = c3d.init(jax.random.PRNGKey(seed))
+            self.input_mean, self.input_bgr = None, False
+        self.feature = feature
+        self.resize = resize
+
+    def __call__(self, video) -> np.ndarray:
+        v = jnp.asarray(video, jnp.float32)
+        t, want = v.shape[1], self._c3d.CLIP_LEN
+        if t > want:                         # center 16-frame window
+            s = (t - want) // 2
+            v = v[:, s:s + want]
+        elif t < want:                       # loop-tile up to 16
+            reps = -(-want // t)
+            v = jnp.tile(v, (1, reps, 1, 1, 1))[:, :want]
+        feats = self._c3d.apply(self.params, v, feature=self.feature,
+                                resize=self.resize,
+                                input_mean=self.input_mean,
+                                input_bgr=self.input_bgr)
+        return np.asarray(jax.device_get(feats), np.float64)
+
+
+class C3DClassifierProbs:
+    """(B, T, H, W, 3) -> (B, 101) softmax of C3D UCF-101 logits — the
+    published UCF-101 video-IS classifier (TGAN protocol, used by
+    DVD-GAN's UCF table). Random init when no weights (labeled)."""
+
+    def __init__(self, weights_npz: Optional[str] = None, seed: int = 0,
+                 feature_extractor: Optional["C3DFeatures"] = None):
+        if feature_extractor is not None:
+            if feature_extractor.feature != "logits":
+                raise ValueError("IS needs the logits head")
+            self.fx = feature_extractor
+        else:
+            self.fx = C3DFeatures(weights_npz, seed, feature="logits")
+        self.pretrained = self.fx.pretrained
+
+    def __call__(self, video) -> np.ndarray:
+        logits = self.fx(video)
+        e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        return e / e.sum(axis=-1, keepdims=True)
+
+
 class I3DClassifierProbs:
     """(B, T, H, W, 3) -> (B, 400) softmax of I3D Kinetics-400 logits — the
     published video-IS classifier (DVD-GAN's Kinetics IS protocol). With no

@@ -30,6 +30,10 @@ class Config:
     inception_weights: str = ""       # converted Inception-v3 npz for
     #                                   published frame-FID
     #                                   (tools/convert_inception_weights.py)
+    c3d_weights: str = ""             # converted C3D npz for published
+    #                                   UCF-101 IS (tools/convert_c3d_weights.py)
+    is_protocol: str = "i3d"          # video-IS classifier: i3d (Kinetics,
+    #                                   400-way) | c3d (UCF-101, 101-way)
     # data
     dataset: str = "synthetic"        # synthetic | frames
     data_path: str = ""

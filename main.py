@@ -17,9 +17,11 @@ Modes:
                  numbers (IS = softmax of the Kinetics-400 logits).
                  Frame-FID uses real Inception-v3 (eval/inception.py):
                  pass --inception_weights <npz> (from
-                 tools/convert_inception_weights.py). Without weights the
-                 extractors run at a fixed random init and the output JSON
-                 carries *_published_comparable: false.
+                 tools/convert_inception_weights.py). For the UCF-101 IS
+                 protocol pass --is_protocol c3d --c3d_weights <npz>
+                 (real C3D, tools/convert_c3d_weights.py). Without weights
+                 the extractors run at a fixed random init and the output
+                 JSON carries *_published_comparable: false.
 """
 
 from __future__ import annotations
@@ -67,20 +69,30 @@ def main(argv=None):
             print(f"wrote {cfg.n_samples} samples to {out}")
         elif cfg.mode == "eval":
             import json
-            from dvdgan_tpu.eval import (I3DClassifierProbs, I3DFeatures,
+            from dvdgan_tpu.eval import (C3DClassifierProbs,
+                                         I3DClassifierProbs, I3DFeatures,
                                          InceptionFeatures,
                                          evaluate_generator)
             fx = I3DFeatures(weights_npz=cfg.i3d_weights or None, seed=0)
             fx2d = InceptionFeatures(
                 weights_npz=cfg.inception_weights or None, seed=0)
-            # published video-IS = softmax of I3D Kinetics-400 logits;
-            # shares params with fx so no second I3D lives on-device
-            clf = I3DClassifierProbs(feature_extractor=fx)
+            if cfg.is_protocol == "c3d":
+                # published UCF-101 IS = softmax of C3D UCF-101 logits
+                clf = C3DClassifierProbs(
+                    weights_npz=cfg.c3d_weights or None, seed=0)
+            else:
+                # published Kinetics IS = softmax of I3D K-400 logits;
+                # shares params with fx so no second I3D lives on-device
+                clf = I3DClassifierProbs(feature_extractor=fx)
             out = evaluate_generator(trainer, fx, n_samples=cfg.n_samples,
                                      classifier=clf, frame_extractor=fx2d)
             out["extractor"] = ("i3d-kinetics400" if fx.pretrained
                                 else "i3d-random-init")
             out["fvd_published_comparable"] = fx.pretrained
+            out["is_classifier"] = (
+                ("c3d-ucf101" if clf.pretrained else "c3d-random-init")
+                if cfg.is_protocol == "c3d" else
+                ("i3d-kinetics400" if clf.pretrained else "i3d-random-init"))
             out["is_published_comparable"] = clf.pretrained
             out["frame_extractor"] = ("inception-v3" if fx2d.pretrained
                                       else "inception-v3-random-init")

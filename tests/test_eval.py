@@ -152,3 +152,18 @@ def test_frame_fid_in_eval_harness(tmp_path):
     tr.close()
     assert np.isfinite(out["fvd"]) and np.isfinite(out["fid"])
     assert out["fid"] >= 0
+
+
+def test_c3d_classifier_probs_and_windowing():
+    """UCF-IS classifier: probs normalize; clips are windowed to exactly
+    16 frames (loop-tile short, center-crop long) before C3D."""
+    from dvdgan_tpu.eval import C3DClassifierProbs
+
+    cp = C3DClassifierProbs(seed=0)
+    assert not cp.pretrained
+    rng = np.random.RandomState(2)
+    for t in (8, 16, 24):                 # short / exact / long clips
+        v = rng.rand(1, t, 64, 64, 3).astype(np.float32) * 2 - 1
+        p = cp(v)
+        assert p.shape == (1, 101) and np.isfinite(p).all()
+        np.testing.assert_allclose(p.sum(axis=-1), 1.0, rtol=1e-12)

@@ -158,3 +158,71 @@ def test_convert_inception_rejects_wrong_arch(tmp_path):
     sd = {"conv1.conv.weight": np.zeros((8, 3, 3, 3), np.float32)}
     with pytest.raises(ValueError, match="does not map"):
         convert_iv3(sd, str(tmp_path / "bad.npz"))
+
+
+# ------------------------------------------------- C3D (UCF-101 video IS) ----
+
+from dvdgan_tpu.eval import C3DFeatures, c3d
+from tools.convert_c3d_weights import convert as convert_c3d
+
+
+def _fake_c3d_sd(rng, n_classes=101):
+    """A DavideA-c3d-pytorch-style state_dict (correct names/shapes)."""
+    sd = {}
+    for name, cin, cout in c3d._CONVS:
+        sd[f"{name}.weight"] = (rng.randn(cout, cin, 3, 3, 3)
+                                .astype(np.float32) * 0.02)
+        sd[f"{name}.bias"] = rng.randn(cout).astype(np.float32) * 0.01
+    dims = {"fc6": (c3d.FLAT_DIM, c3d.FC_DIM),
+            "fc7": (c3d.FC_DIM, c3d.FC_DIM),
+            "fc8": (c3d.FC_DIM, n_classes)}
+    for name, (din, dout) in dims.items():
+        sd[f"{name}.weight"] = (rng.randn(dout, din).astype(np.float32)
+                                * (1.0 / np.sqrt(din)))
+        sd[f"{name}.bias"] = rng.randn(dout).astype(np.float32) * 0.01
+    return sd
+
+
+def test_c3d_param_count():
+    # canonical C3D ≈ 78M params (UCF-101 101-way head)
+    n = c3d.n_params()
+    assert 77_000_000 < n < 80_000_000, n
+
+
+def test_convert_c3d_and_run(tmp_path):
+    rng = np.random.RandomState(0)
+    sd = _fake_c3d_sd(rng)
+    out = str(tmp_path / "c3d.npz")
+    mean = rng.rand(3).astype(np.float32) * 100
+    n = convert_c3d(sd, out, input_mean=mean, input_bgr=True)
+    assert n == len(c3d.param_shapes())
+
+    fx = C3DFeatures(weights_npz=out)
+    assert fx.pretrained and fx.input_bgr
+    np.testing.assert_array_equal(fx.input_mean, mean)
+    v = rng.rand(1, 16, 64, 64, 3).astype(np.float32) * 2 - 1
+    f = fx(v)
+    assert f.shape == (1, 101) and np.isfinite(f).all()
+
+    loaded = np.load(out)
+    want = sd["conv3b.weight"].transpose(2, 3, 4, 1, 0)
+    assert np.array_equal(loaded["conv3b/w"], want)
+
+
+def test_c3d_fc6_flatten_permutation():
+    """The converter's fc6 column permutation must make our (T,H,W,C)
+    flatten reproduce torch's (C,T,H,W)-flatten matmul exactly."""
+    rng = np.random.RandomState(1)
+    w_torch = rng.randn(c3d.FC_DIM, c3d.FLAT_DIM).astype(np.float32)
+    x = rng.randn(512, 1, 4, 4).astype(np.float32)        # (C, T, H, W)
+    y_torch = w_torch @ x.reshape(-1)                     # torch order
+    w6 = w_torch.reshape(c3d.FC_DIM, 512, 1, 4, 4)
+    w6 = w6.transpose(0, 2, 3, 4, 1).reshape(c3d.FC_DIM, c3d.FLAT_DIM)
+    y_ours = x.transpose(1, 2, 3, 0).reshape(-1) @ w6.T   # (T,H,W,C) order
+    np.testing.assert_allclose(y_ours, y_torch, rtol=1e-4, atol=1e-3)
+
+
+def test_convert_c3d_rejects_wrong_arch(tmp_path):
+    sd = {"conv1.weight": np.zeros((8, 3, 3, 3, 3), np.float32)}
+    with pytest.raises(ValueError, match="does not map"):
+        convert_c3d(sd, str(tmp_path / "bad.npz"))
