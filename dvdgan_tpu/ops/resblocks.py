@@ -125,6 +125,9 @@ def dblock3d(p: dict, x: jax.Array, down: bool, first: bool = False
     """x: (N, T, H, W, Cin) -> (N, T, H', W', Cout); pooling is spatial-only."""
     h = x if first else jax.nn.relu(x)
     h = layers.conv3d(p["conv1"], h)
+    if first:
+        # split the backward fusion at the cin=3 stem (see grad_barrier)
+        h = layers.grad_barrier(h)
     h = jax.nn.relu(h)
     h = layers.conv3d(p["conv2"], h)
     if down:
