@@ -59,13 +59,22 @@ def shard_batch(mesh: Mesh, clip: np.ndarray, labels: np.ndarray):
     return jax.device_put(clip, s), jax.device_put(labels, s)
 
 
+def shard_batch_chunk(mesh: Mesh, clips: np.ndarray, labels: np.ndarray):
+    """(steps_per_call, B, ...) host chunk -> device arrays with the BATCH
+    axis (dim 1) sharded over `data`; the leading step axis is unsharded
+    (it is lax.scan's carry axis in chunked stepping)."""
+    s = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.device_put(clips, s), jax.device_put(labels, s)
+
+
 def replicate_state(mesh: Mesh, state):
     return jax.device_put(state, replicated(mesh))
 
 
 def make_parallel_train_step(g_cfg: GConfig, ds_cfg: DSConfig,
                              dt_cfg: DTConfig, tc: TrainConfig,
-                             mesh: Mesh, donate: bool = True):
+                             mesh: Mesh, donate: bool = True,
+                             steps_per_call: int = 1):
     """shard_map'd + jitted (data[, time])-parallel train step.
 
     f(state, real, y, key) with: state replicated; real/y batch-sharded
@@ -108,4 +117,10 @@ def make_parallel_train_step(g_cfg: GConfig, ds_cfg: DSConfig,
         out_specs=(P(), P()),
         check_vma=False,
     )
+    if steps_per_call > 1:
+        # chunked stepping (train/step.py scan_steps): scan the shard_map'd
+        # step inside one jit; data args gain a leading steps_per_call axis
+        # (sharded P(None, data) — see shard_batch_chunk)
+        return train_step_mod.scan_steps(mapped, steps_per_call,
+                                         donate=donate)
     return jax.jit(mapped, donate_argnums=(0,) if donate else ())

@@ -340,6 +340,33 @@ def make_train_step(g_cfg: GConfig, ds_cfg: DSConfig, dt_cfg: DTConfig,
     return jax.jit(f, donate_argnums=(0,) if donate else ())
 
 
+def scan_steps(step_fn, steps_per_call: int, donate: bool = True):
+    """Chunked stepping: lax.scan `steps_per_call` train steps inside ONE
+    jitted call, amortizing the per-dispatch overhead the host loop pays
+    every step (~4 ms/dispatch on v5e, 20-30 ms through remote tunnels —
+    the same trick bench.py uses to measure honestly).
+
+    `step_fn` is the UNJITTED per-step callable (train_step bound to its
+    configs, or the shard_map'd parallel step). Returns
+    f(state, reals, ys, base_key, start_step) with a leading
+    `steps_per_call` axis on reals/ys; step j consumes
+    fold_in(base_key, start_step + j) — the trainer's exact per-step key
+    contract — derived ON DEVICE (host-side fold_in would cost one
+    dispatch round-trip per step, which is the overhead being amortized).
+    Metrics come back stacked along the step axis; callers should slice
+    them lazily (each host-side slice is a dispatch)."""
+
+    def multi(state, reals, ys, base_key, start_step):
+        def body(st, xs):
+            r, y, j = xs
+            st, m = step_fn(st, r, y, jax.random.fold_in(base_key, j))
+            return st, m
+        steps = start_step + jnp.arange(steps_per_call)
+        return jax.lax.scan(body, state, (reals, ys, steps))
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
+
+
 def sample(g_params_ema: dict, g_stats: dict, sn_u: dict, z: jax.Array,
            y: jax.Array, g_cfg: GConfig,
            cond_video: Optional[jax.Array] = None) -> jax.Array:

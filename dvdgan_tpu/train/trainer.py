@@ -15,6 +15,7 @@ device_put's them with the right sharding.
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 
@@ -63,6 +64,7 @@ class Trainer:
         while n_data > 1 and cfg.batch_size % n_data:
             n_data -= 1
         self.n_devices = n_data * n_time
+        self.steps_per_call = self._effective_steps_per_call()
         if self.n_devices > 1:
             if n_time > 1:
                 self.mesh = parallel.make_mesh(
@@ -73,11 +75,18 @@ class Trainer:
                     devices=jax.devices()[:self.n_devices])
             self.state = parallel.replicate_state(self.mesh, self.state)
             self.step_fn = parallel.make_parallel_train_step(
-                self.g_cfg, self.ds_cfg, self.dt_cfg, self.tc, self.mesh)
+                self.g_cfg, self.ds_cfg, self.dt_cfg, self.tc, self.mesh,
+                steps_per_call=self.steps_per_call)
         else:
             self.mesh = None
-            self.step_fn = step_mod.make_train_step(
-                self.g_cfg, self.ds_cfg, self.dt_cfg, self.tc)
+            if self.steps_per_call > 1:
+                raw = functools.partial(
+                    step_mod.train_step, g_cfg=self.g_cfg,
+                    ds_cfg=self.ds_cfg, dt_cfg=self.dt_cfg, tc=self.tc)
+                self.step_fn = step_mod.scan_steps(raw, self.steps_per_call)
+            else:
+                self.step_fn = step_mod.make_train_step(
+                    self.g_cfg, self.ds_cfg, self.dt_cfg, self.tc)
 
         # fixed eval latents/labels for comparable sample dumps over training
         kz, ky = jax.random.split(jax.random.PRNGKey(cfg.seed + 1))
@@ -91,6 +100,25 @@ class Trainer:
                 [self.dataset[i][0][:self.g_cfg.cond_frames]
                  for i in range(n_show)]))
         self._sample_jit = jax.jit(step_mod.sample, static_argnames=("g_cfg",))
+
+    def _effective_steps_per_call(self) -> int:
+        """Validate chunked stepping against the schedule: every cadence
+        (log/sample/save/total, resume point) must land on a chunk
+        boundary, or chunking silently shifts the reference's schedule
+        semantics. Misaligned configs fall back to 1 with a warning rather
+        than erroring (correctness over speed)."""
+        k = max(1, self.cfg.steps_per_call)
+        if k == 1:
+            return 1
+        cadences = [self.cfg.total_step, self.cfg.log_step,
+                    self.cfg.sample_step, self.cfg.model_save_step,
+                    self.start_step]
+        bad = [c for c in cadences if c and c % k]
+        if bad:
+            print(f"steps_per_call={k} does not divide schedule points "
+                  f"{bad}; falling back to per-step dispatch")
+            return 1
+        return k
 
     # ------------------------------------------------------------------ data
     def _build_dataset(self):
@@ -140,32 +168,57 @@ class Trainer:
         #                 sync never stalls the device pipeline
         t_last = time.time()
         dtype = jnp.bfloat16 if c.bf16 else jnp.float32
+        base_key = jax.random.PRNGKey(c.seed)   # chunked path: built once
 
-        for i in range(self.start_step, total):
-            if c.profile and i == self.start_step + 10:
+        K = self.steps_per_call
+        if K > 1 and total % K:
+            raise ValueError(f"total_step override {total} is not a "
+                             f"multiple of steps_per_call {K}")
+        prof_start = self.start_step + K * max(1, 10 // K)
+        prof_stop = prof_start + K * max(1, 5 // K)
+        for i in range(self.start_step, total, K):
+            if c.profile and i == prof_start:
                 jax.profiler.start_trace(os.path.join(self.out_dir, "trace"))
-            if c.profile and i == self.start_step + 15:
+            if c.profile and i == prof_stop:
                 # true device barrier: fetch a scalar — block_until_ready
                 # does NOT synchronize through the axon tunnel (CLAUDE.md),
                 # which would truncate the trace mid-step
-                for leaf in jax.tree.leaves(metrics):
-                    float(leaf)
+                self._metrics_host(metrics)
                 jax.profiler.stop_trace()
-            clip, labels = next(data)
-            clip = clip.astype(dtype)
-            if self.mesh is not None:
-                real, y = parallel.shard_batch(self.mesh, clip, labels)
+            if K == 1:
+                clip, labels = next(data)
+                clip = clip.astype(dtype)
+                if self.mesh is not None:
+                    real, y = parallel.shard_batch(self.mesh, clip, labels)
+                else:
+                    real, y = jnp.asarray(clip), jnp.asarray(labels)
+                # per-step key from (seed, step): resume-stable streams
+                key = jax.random.fold_in(jax.random.PRNGKey(c.seed), i)
+                self.state, metrics = self.step_fn(self.state, real, y, key)
             else:
-                real, y = jnp.asarray(clip), jnp.asarray(labels)
-            # per-step key derived from (seed, step): resume-stable streams
-            key = jax.random.fold_in(jax.random.PRNGKey(c.seed), i)
-            self.state, metrics = self.step_fn(self.state, real, y, key)
+                # chunked stepping: K batches, ONE dispatch; per-step keys
+                # fold_in(seed, step) are derived on-device inside the
+                # scan (host-side key building / metric slicing would cost
+                # one tunnel round-trip per step — the very overhead being
+                # amortized). `metrics` stays a stacked device tree until
+                # a log boundary actually reads it.
+                bs = [next(data) for _ in range(K)]
+                clips = np.stack([b[0] for b in bs]).astype(dtype)
+                ys = np.stack([b[1] for b in bs])
+                if self.mesh is not None:
+                    real, y = parallel.shard_batch_chunk(self.mesh, clips,
+                                                         ys)
+                else:
+                    real, y = jnp.asarray(clips), jnp.asarray(ys)
+                self.state, metrics = self.step_fn(
+                    self.state, real, y, base_key,
+                    jnp.asarray(i, jnp.int32))
 
-            step = i + 1
+            step = i + K
             if step % c.log_step == 0:
                 report_step, report = lagged if lagged is not None \
                     else (step, metrics)
-                m = {k: float(v) for k, v in report.items()}
+                m = self._metrics_host(report)
                 dt = time.time() - t_last
                 sps = c.log_step / dt if dt > 0 else 0.0
                 t_last = time.time()
@@ -181,9 +234,18 @@ class Trainer:
                 ckpt.save(self.ckpt_dir, step, jax.device_get(self.state))
         if lagged is not None:   # final interval's metrics, never yet written
             lstep, lmetrics = lagged
-            self.writer.scalars({k: float(v) for k, v in lmetrics.items()},
-                                lstep)
-        return {k: float(v) for k, v in metrics.items()} if metrics else {}
+            self.writer.scalars(self._metrics_host(lmetrics), lstep)
+        return self._metrics_host(metrics) if metrics else {}
+
+    @staticmethod
+    def _metrics_host(metrics) -> dict:
+        """Device metrics -> {name: float} in ONE device_get; chunked
+        stepping stacks a leading step axis — report the interval's final
+        step (matching the per-step path, which only ever logs the
+        boundary step's metrics)."""
+        host = jax.device_get(metrics)
+        return {k: float(np.asarray(v).reshape(-1)[-1])
+                for k, v in host.items()}
 
     # ---------------------------------------------------------------- sample
     def sample(self, z=None, y=None, cond=None):

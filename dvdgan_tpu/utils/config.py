@@ -62,6 +62,11 @@ class Config:
     ema_decay: float = 0.9999
     ema_start: int = 1000
     total_step: int = 100000
+    steps_per_call: int = 1           # chunked stepping: lax.scan K train
+    #                                   steps per dispatch (amortizes the
+    #                                   per-execute overhead; semantics ==
+    #                                   K single steps, tested). Schedule
+    #                                   flags must be multiples of K.
     # schedule
     log_step: int = 10
     sample_step: int = 500

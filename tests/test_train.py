@@ -158,3 +158,60 @@ def test_per_step_fake_gen_mode():
     _, m = make_train_step(G_CFG, DS_CFG, DT_CFG, tc2, donate=False)(
         st2, real, y, key)
     assert all(np.isfinite(float(v)) for v in m.values())
+
+
+def test_chunked_stepping_mechanics():
+    """scan_steps wiring, chaos-free: a stub step records exactly which
+    (batch, label, key) each scan iteration consumed. Must equal the
+    trainer's per-step contract: step j gets reals[j], ys[j],
+    fold_in(base_key, start + j), in order, with metrics stacked."""
+    from dvdgan_tpu.train.step import scan_steps
+
+    def stub(st, r, y, k):
+        m = {"rsum": r.sum(), "y0": y[0].astype(jnp.float32),
+             "k0": jax.random.key_data(k).reshape(-1)[0]}
+        return st + 1, m
+
+    K, start = 4, 12
+    reals = jnp.arange(K, dtype=jnp.float32).reshape(K, 1) * 10.0
+    ys = jnp.arange(K, dtype=jnp.int32).reshape(K, 1) + 100
+    base = jax.random.PRNGKey(3)
+    out, m = scan_steps(stub, K, donate=False)(
+        jnp.int32(0), reals, ys, base, jnp.int32(start))
+    assert int(out) == K
+    for j in range(K):
+        assert float(m["rsum"][j]) == 10.0 * j
+        assert int(m["y0"][j]) == 100 + j
+        want_key = jax.random.fold_in(base, start + j)
+        assert int(m["k0"][j]) == int(
+            jax.random.key_data(want_key).reshape(-1)[0])
+
+
+def test_chunked_stepping_numerics_one_step(setup):
+    """One scanned train step vs the plain jitted step: same key, same
+    batch. Cross-executable float reassociation bounds the diff (~1e-5 on
+    gradients; Adam's sign-like first update can flip near-zero elements
+    by +-lr = 1e-4) — anything larger means a real semantic break. Losses
+    (pre-update) must agree to float noise. Multi-step trajectories
+    diverge chaotically through Adam and are covered by the mechanics
+    test above + the trainer-level chunk test."""
+    from dvdgan_tpu.train.step import scan_steps, train_step
+    import functools
+
+    st, real, y, step = setup
+    base = jax.random.PRNGKey(0)
+    ref, m_ref = step(st, real, y, jax.random.fold_in(base, 0))
+
+    raw = functools.partial(train_step, g_cfg=G_CFG, ds_cfg=DS_CFG,
+                            dt_cfg=DT_CFG, tc=TC)
+    multi = scan_steps(raw, 1, donate=False)
+    out, mstack = multi(st, real[None], y[None], base, jnp.int32(0))
+
+    for k in mstack:
+        np.testing.assert_allclose(float(mstack[k][0]), float(m_ref[k]),
+                                   rtol=1e-4, atol=1e-5)
+    assert int(out["step"]) == 1
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(out)):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64),
+                                   rtol=1e-2, atol=5e-4)
