@@ -112,7 +112,7 @@ class Trainer:
             return 1
         cadences = [self.cfg.total_step, self.cfg.log_step,
                     self.cfg.sample_step, self.cfg.model_save_step,
-                    self.start_step]
+                    self.cfg.eval_step, self.start_step]
         bad = [c for c in cadences if c and c % k]
         if bad:
             print(f"steps_per_call={k} does not divide schedule points "
@@ -230,12 +230,42 @@ class Trainer:
                 lagged = (step, metrics)
             if c.sample_step and step % c.sample_step == 0:
                 self.dump_samples(step)
+            if c.eval_step and step % c.eval_step == 0:
+                ev = self.evaluate()
+                self.writer.scalars(ev, step)
+                print(f"eval @ {step}: " + " ".join(
+                    f"{k} {v:.4f}" for k, v in ev.items()))
             if c.model_save_step and step % c.model_save_step == 0:
                 ckpt.save(self.ckpt_dir, step, jax.device_get(self.state))
         if lagged is not None:   # final interval's metrics, never yet written
             lstep, lmetrics = lagged
             self.writer.scalars(self._metrics_host(lmetrics), lstep)
         return self._metrics_host(metrics) if metrics else {}
+
+    # ------------------------------------------------------------------ eval
+    def evaluate(self, extractor=None, n_samples: int | None = None) -> dict:
+        """FVD (+IS via the shared I3D logits) of EMA-G samples vs the
+        dataset — the --mode eval path, callable mid-training
+        (--eval_step cadence). The extractor is built once and cached;
+        pass one explicitly to override (tests use a tiny
+        I3DLikeFeatures). Random-init extractors give self-consistent
+        TRENDS, not published-comparable numbers (see --mode eval's
+        labeling)."""
+        from dvdgan_tpu.eval import (I3DClassifierProbs, I3DFeatures,
+                                     evaluate_generator)
+        if extractor is None:
+            if not hasattr(self, "_eval_fx"):
+                self._eval_fx = I3DFeatures(
+                    weights_npz=self.cfg.i3d_weights or None, seed=0)
+                self._eval_clf = I3DClassifierProbs(
+                    feature_extractor=self._eval_fx)
+            extractor, clf = self._eval_fx, self._eval_clf
+        else:
+            clf = None
+        n = n_samples if n_samples is not None else self.cfg.eval_samples
+        return evaluate_generator(
+            self, extractor, n_samples=n,
+            batch_size=min(self.cfg.batch_size, n), classifier=clf)
 
     @staticmethod
     def _metrics_host(metrics) -> dict:

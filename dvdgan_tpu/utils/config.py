@@ -71,6 +71,10 @@ class Config:
     log_step: int = 10
     sample_step: int = 500
     model_save_step: int = 1000
+    eval_step: int = 0                # >0: periodic in-training FVD/IS —
+    #                                   evaluate_generator on eval_samples
+    #                                   EMA-G samples, logged to scalars
+    eval_samples: int = 64
     pretrained_model: Optional[int] = None   # resume from this step
     # runtime
     seed: int = 0

@@ -98,3 +98,32 @@ def test_trainer_chunked_misaligned_falls_back(tmp_path):
     tr = Trainer(cfg)
     assert tr.steps_per_call == 1
     tr.close()
+
+
+def test_trainer_eval_step_cadence(tmp_path, monkeypatch):
+    """--eval_step N runs Trainer.evaluate at N-step boundaries and logs
+    the scalars; Trainer.evaluate accepts an extractor override."""
+    import json
+
+    from dvdgan_tpu.eval import I3DLikeFeatures
+
+    cfg = Config(dataset="synthetic", n_classes=4, img_size=32, n_frames=4,
+                 ch=8, d_ch=8, k_frames=2, batch_size=2, d_steps=1,
+                 total_step=2, log_step=2, sample_step=0,
+                 model_save_step=0, eval_step=2, ema_start=0, bf16=False,
+                 out_dir=str(tmp_path / "ev"))
+    tr = Trainer(cfg)
+    calls = []
+    fx = I3DLikeFeatures(seed=0, widths=(8, 16))
+    real_eval = tr.evaluate
+    monkeypatch.setattr(
+        tr, "evaluate",
+        lambda: calls.append(1) or real_eval(extractor=fx, n_samples=4))
+    tr.train()
+    tr.close()
+    assert calls == [1]
+    logged = [json.loads(l) for l in
+              open(os.path.join(cfg.out_dir, "logs", "scalars.jsonl"))]
+    fvd_rows = [d for d in logged if d["tag"] == "fvd"]
+    assert len(fvd_rows) == 1 and fvd_rows[0]["step"] == 2
+    assert np.isfinite(fvd_rows[0]["value"])
