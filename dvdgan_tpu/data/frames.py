@@ -25,6 +25,19 @@ _IMG_EXT = (".jpg", ".jpeg", ".png", ".bmp")
 _VIDEO_EXT = (".mp4", ".avi", ".mov", ".mkv", ".webm", ".gif")
 
 
+# Container formats that need an actual codec backend (ffmpeg/pyav) —
+# imageio importing is NOT enough: without one of these plugins
+# iio.imread raises "could not find a backend" at decode time. GIFs
+# decode through the always-present Pillow plugin.
+_CONTAINER_EXT = (".mp4", ".avi", ".mov", ".mkv", ".webm")
+
+
+def _has_codec_backend() -> bool:
+    import importlib.util
+    return any(importlib.util.find_spec(m) is not None
+               for m in ("imageio_ffmpeg", "av"))
+
+
 def _video_reader():
     """Plugin-detect an in-pipeline video decoder (SURVEY §2.12: the
     reference loads 'frame dirs or video files'). Returns a
@@ -47,6 +60,17 @@ def _video_reader():
 
 
 _READ_VIDEO = _video_reader()
+_CODEC_OK = _has_codec_backend()
+
+
+def _decodable(path: str) -> bool:
+    """True when in-pipeline decode will actually work for this file —
+    container formats need ffmpeg/pyav, not just imageio itself."""
+    if _READ_VIDEO is None:
+        return False
+    if path.lower().endswith(_CONTAINER_EXT):
+        return _CODEC_OK
+    return True                               # .gif via the Pillow plugin
 
 
 def _list_videos(root: str) -> Tuple[List[Tuple[str, int]], List[str]]:
@@ -61,7 +85,7 @@ def _list_videos(root: str) -> Tuple[List[Tuple[str, int]], List[str]]:
             if os.path.isdir(path) or v.endswith(".npy"):
                 items.append((path, li))
             elif v.lower().endswith(_VIDEO_EXT):
-                if _READ_VIDEO is not None:
+                if _decodable(path):
                     items.append((path, li))
                 else:
                     skipped_raw += 1
@@ -82,7 +106,7 @@ def _load_frames_u8(path: str) -> np.ndarray:
             arr = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
         return arr
     if path.lower().endswith(_VIDEO_EXT):
-        if _READ_VIDEO is None:
+        if not _decodable(path):
             raise RuntimeError(f"no video decode backend for {path}")
         return _READ_VIDEO(path)
     from PIL import Image
@@ -107,7 +131,8 @@ class FrameFolderDataset:
             raise ValueError(f"no videos under {root}")
         self.n_frames = n_frames
         self.img_size = img_size
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self._epoch = 0
 
     @property
     def n_classes(self) -> int:
@@ -116,13 +141,24 @@ class FrameFolderDataset:
     def __len__(self) -> int:
         return len(self.items)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the augmentation stream (Loader calls this each epoch).
+        Window sampling is a PURE function of (seed, epoch, idx): exact
+        mid-epoch resume (skipping items replays nothing stateful) and
+        thread-safe decode (no shared RNG) both depend on this."""
+        self._epoch = int(epoch)
+
     def __getitem__(self, idx: int):
         path, label = self.items[idx]
         frames = _load_frames_u8(path)
         t0 = frames.shape[0]
         t = self.n_frames
-        # window start (short clips wrap modulo T0 — loop padding)
-        start = self.rng.randint(0, t0 - t + 1) if t0 >= t else 0
+        # window start (short clips wrap modulo T0 — loop padding), drawn
+        # from a per-(seed, epoch, idx) stream — see set_epoch
+        rng = np.random.RandomState(
+            np.uint32(self.seed * 1000003 + self._epoch * 9973
+                      + idx * 101 + 17) & 0x7FFFFFFF)
+        start = rng.randint(0, t0 - t + 1) if t0 >= t else 0
         # fused window+crop+resize+normalize (C++ when built, numpy else)
         clip = native.clip_window(frames, t, self.img_size, start)
         return clip, label

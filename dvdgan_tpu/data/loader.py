@@ -68,6 +68,8 @@ class Loader:
         skips the first batches (within-epoch resume: the shuffle order is
         a pure function of (seed, epoch), so skipping replays exactly the
         stream an uninterrupted run would have produced)."""
+        if hasattr(self.ds, "set_epoch"):
+            self.ds.set_epoch(epoch)
         idx = self._epoch_indices(epoch)
         batches = [idx[i:i + self.batch_size]
                    for i in range(0, len(idx), self.batch_size)]
@@ -81,8 +83,10 @@ class Loader:
                     if stop.is_set():
                         return
                     q.put(self._make_batch(b))
-            finally:
-                q.put(None)
+            except BaseException as e:        # surface decode errors to the
+                q.put(e)                      # consumer — a swallowed error
+            finally:                          # would silently truncate the
+                q.put(None)                   # epoch and desync resume
 
         th = threading.Thread(target=worker, daemon=True)
         th.start()
@@ -91,6 +95,8 @@ class Loader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -173,10 +173,14 @@ class C3DClassifierProbs:
             self.fx = C3DFeatures(weights_npz, seed, feature="logits")
         self.pretrained = self.fx.pretrained
 
-    def __call__(self, video) -> np.ndarray:
-        logits = self.fx(video)
+    def from_features(self, logits: np.ndarray) -> np.ndarray:
+        """Probs from ALREADY-extracted logits (shared-extractor eval:
+        avoids a second full C3D forward per batch)."""
         e = np.exp(logits - logits.max(axis=-1, keepdims=True))
         return e / e.sum(axis=-1, keepdims=True)
+
+    def __call__(self, video) -> np.ndarray:
+        return self.from_features(self.fx(video))
 
 
 class I3DClassifierProbs:
@@ -197,10 +201,14 @@ class I3DClassifierProbs:
                                   resize=resize)
         self.pretrained = self.fx.pretrained
 
-    def __call__(self, video) -> np.ndarray:
-        logits = self.fx(video)                       # (B, 400) float64
+    def from_features(self, logits: np.ndarray) -> np.ndarray:
+        """Probs from ALREADY-extracted logits (shared-extractor eval:
+        avoids a second full I3D forward per batch)."""
         e = np.exp(logits - logits.max(axis=-1, keepdims=True))
         return e / e.sum(axis=-1, keepdims=True)
+
+    def __call__(self, video) -> np.ndarray:
+        return self.from_features(self.fx(video))
 
 
 class ClassifierProbs:

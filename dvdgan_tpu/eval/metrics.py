@@ -109,11 +109,18 @@ def evaluate_generator(trainer, extractor: Callable, n_samples: int = 256,
             y = jax.random.randint(ky, (b,), 0, trainer.cfg.n_classes)
             fake = np.asarray(jax.device_get(trainer.sample(z, y)),
                               np.float32)
-        fake_feats.append(extractor(fake))
+        f = extractor(fake)
+        fake_feats.append(f)
         if frame_extractor is not None:
             fake_frame_feats.append(frame_extractor(fake))
         if classifier is not None:
-            probs.append(classifier(fake))
+            # a classifier sharing THIS extractor's logits reuses them —
+            # one scoring-network forward per batch, not two
+            if (getattr(classifier, "fx", None) is extractor
+                    and hasattr(classifier, "from_features")):
+                probs.append(classifier.from_features(f))
+            else:
+                probs.append(classifier(fake))
         done += b
     out = {"fvd": fvd(real_feats, np.concatenate(fake_feats))}
     if frame_extractor is not None:

@@ -59,7 +59,7 @@ import jax.numpy as jnp
 
 from dvdgan_tpu.models import DSConfig, DTConfig, GConfig
 from dvdgan_tpu.models import discriminator, generator
-from dvdgan_tpu.ops import losses, resize
+from dvdgan_tpu.ops import losses
 from dvdgan_tpu.ops import spectral_norm as sn
 from dvdgan_tpu.train import state as train_state
 from dvdgan_tpu.train.state import TrainConfig
@@ -193,6 +193,9 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
     # comparable random-I3D FVD (4.92 vs 4.12, same order) — no evidence
     # the pooling changes dynamics materially; tc.fake_gen="per_step"
     # selects the reference's per-forward stats when exact parity matters.
+    if tc.fake_gen not in ("pooled", "per_step"):
+        raise ValueError(f"fake_gen must be 'pooled' or 'per_step', "
+                         f"got {tc.fake_gen!r}")
     g_sn, _ = sn.sn_normalize(state["g"]["params"], state["g"]["sn_u"],
                               update=False, compute_dtype=real.dtype)
     if tc.fake_gen == "pooled":

@@ -161,3 +161,77 @@ def test_frame_folder_video_files(tmp_path):
     assert clip.shape == (4, 16, 16, 3) and label == 0
     assert clip.min() >= -1.0 and clip.max() <= 1.0
     assert clip.std() > 0.1
+
+
+def test_raw_container_skipped_without_codec_backend(tmp_path, monkeypatch):
+    """A .avi in the tree must be SKIPPED (with a warning) when no
+    ffmpeg/pyav backend exists — imageio importing is not enough; listing
+    it would crash the loader thread at decode time (review finding)."""
+    import warnings
+
+    from dvdgan_tpu.data import frames as frames_mod
+
+    vdir = tmp_path / "classA"
+    vdir.mkdir(parents=True)
+    (vdir / "vid0.avi").write_bytes(b"not a real avi")
+    np.save(vdir / "vid1.npy",
+            np.zeros((6, 16, 16, 3), np.uint8))
+    monkeypatch.setattr(frames_mod, "_CODEC_OK", False)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ds = FrameFolderDataset(str(tmp_path), n_frames=4, img_size=16)
+    assert len(ds) == 1                       # only the .npy
+    assert any("skipped" in str(x.message) for x in w)
+
+
+def test_loader_propagates_worker_errors(tmp_path):
+    """A decode error in the prefetch worker must surface to the consumer,
+    not silently truncate the epoch (review finding)."""
+    import pytest
+
+    class Exploding:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise OSError("decode failed")
+            return np.zeros((2, 8, 8, 3), np.float32), 0
+
+    ld = Loader(Exploding(), batch_size=2, shuffle=False, num_threads=1)
+    it = ld.epoch(0)
+    next(it)                                  # batch [0, 1] fine
+    with pytest.raises(OSError, match="decode failed"):
+        next(it)                              # batch [2, 3] must raise
+
+
+def test_frame_window_pure_and_epoch_varied(tmp_path):
+    """Window sampling is a pure function of (seed, epoch, idx): repeated
+    reads are identical (thread-safe, exact mid-epoch resume), different
+    epochs redraw (augmentation still varies)."""
+    _write_fixture(tmp_path, n_classes=1, n_videos=1, t0=20)
+    ds = FrameFolderDataset(str(tmp_path), n_frames=4, img_size=16, seed=3)
+    a1, _ = ds[0]
+    a2, _ = ds[0]
+    np.testing.assert_array_equal(a1, a2)     # no hidden RNG state consumed
+    windows = []
+    for e in range(6):
+        ds.set_epoch(e)
+        windows.append(ds[0][0])
+    assert any(not np.array_equal(windows[0], w) for w in windows[1:])
+
+
+def test_frame_folder_mid_epoch_resume_exact(tmp_path):
+    """Loader.epoch(e, start_batch=k) on a FrameFolderDataset replays
+    exactly the uninterrupted epoch's tail — requires the pure
+    (seed, epoch, idx) window contract (review finding: the old stateful
+    ds.rng desynced on skip)."""
+    _write_fixture(tmp_path, n_classes=2, n_videos=3, t0=20)
+    ds = FrameFolderDataset(str(tmp_path), n_frames=4, img_size=16, seed=1)
+    ld = Loader(ds, batch_size=2, seed=5, num_threads=1)
+    full = list(ld.epoch(1))
+    tail = list(ld.epoch(1, start_batch=2))
+    assert len(tail) == len(full) - 2
+    for (ca, la), (cb, lb) in zip(full[2:], tail):
+        np.testing.assert_array_equal(ca, cb)
+        np.testing.assert_array_equal(la, lb)

@@ -215,3 +215,12 @@ def test_chunked_stepping_numerics_one_step(setup):
         np.testing.assert_allclose(np.asarray(a, np.float64),
                                    np.asarray(b, np.float64),
                                    rtol=1e-2, atol=5e-4)
+
+
+def test_fake_gen_typo_rejected(setup):
+    import dataclasses
+    st, real, y, _ = setup
+    bad = dataclasses.replace(TC, fake_gen="Pooled")
+    with pytest.raises(ValueError, match="fake_gen"):
+        make_train_step(G_CFG, DS_CFG, DT_CFG, bad, donate=False)(
+            st, real, y, jax.random.PRNGKey(0))

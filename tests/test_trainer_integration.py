@@ -127,3 +127,16 @@ def test_trainer_eval_step_cadence(tmp_path, monkeypatch):
     fvd_rows = [d for d in logged if d["tag"] == "fvd"]
     assert len(fvd_rows) == 1 and fvd_rows[0]["step"] == 2
     assert np.isfinite(fvd_rows[0]["value"])
+
+
+def test_time_shards_over_devices_rejected(tmp_path):
+    """time_shards > device_count must error, not silently fall back to a
+    single device (review finding)."""
+    import pytest
+
+    cfg = Config(dataset="synthetic", n_classes=4, img_size=32, n_frames=4,
+                 ch=8, d_ch=8, k_frames=2, batch_size=2, d_steps=1,
+                 total_step=1, time_shards=99, bf16=False,
+                 out_dir=str(tmp_path / "ts"))
+    with pytest.raises(ValueError, match="time_shards"):
+        Trainer(cfg)

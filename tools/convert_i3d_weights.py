@@ -33,6 +33,11 @@ import sys
 
 import numpy as np
 
+try:
+    from tools._convert_common import as_numpy as _as_numpy
+except ImportError:       # run as a loose script from tools/
+    from _convert_common import as_numpy as _as_numpy
+
 from dvdgan_tpu.eval import i3d
 
 # TF branch-unit names per Mixed-block slot (our slot -> TF suffix).
@@ -44,11 +49,6 @@ _TF_BRANCH = {
     "b2b": "Branch_2/Conv3d_0b_3x3",
     "b3b": "Branch_3/Conv3d_0b_1x1",
 }
-
-
-def _as_numpy(t) -> np.ndarray:
-    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t,
-                      np.float32)
 
 
 def _find(sd: dict, suffix: str):

@@ -18,12 +18,12 @@ import sys
 
 import numpy as np
 
+try:
+    from tools._convert_common import as_numpy as _as_numpy
+except ImportError:       # run as a loose script from tools/
+    from _convert_common import as_numpy as _as_numpy
+
 from dvdgan_tpu.eval import inception as iv3
-
-
-def _as_numpy(t) -> np.ndarray:
-    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t,
-                      np.float32)
 
 
 def convert(state_dict: dict, out_path: str) -> int:
