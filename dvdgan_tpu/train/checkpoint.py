@@ -26,11 +26,26 @@ def _checkpointer() -> ocp.Checkpointer:
     return ocp.StandardCheckpointer()
 
 
-def save(ckpt_dir: str, step: int, state: Any) -> None:
-    """Write `state` under ckpt_dir/<step>/ (atomic via Orbax tmp+rename)."""
+def save(ckpt_dir: str, step: int, state: Any,
+         max_to_keep: Optional[int] = None) -> None:
+    """Write `state` under ckpt_dir/<step>/ (atomic via Orbax tmp+rename).
+    `max_to_keep`: after a successful save, delete the oldest checkpoints
+    beyond the newest N (long runs would otherwise fill the disk; the
+    reference keeps everything)."""
     path = os.path.join(os.path.abspath(ckpt_dir), str(step))
     with _checkpointer() as ckptr:
         ckptr.save(path, state, force=True)
+    if max_to_keep is not None and max_to_keep > 0:
+        _prune(ckpt_dir, max_to_keep)
+
+
+def _prune(ckpt_dir: str, max_to_keep: int) -> None:
+    import shutil
+    base = os.path.abspath(ckpt_dir)
+    steps = sorted(int(d) for d in os.listdir(base) if d.isdigit()
+                   and os.path.isdir(os.path.join(base, d)))
+    for s in steps[:-max_to_keep]:
+        shutil.rmtree(os.path.join(base, str(s)), ignore_errors=True)
 
 
 def latest_step(ckpt_dir: str) -> Optional[int]:

@@ -241,7 +241,8 @@ class Trainer:
                 print(f"eval @ {step}: " + " ".join(
                     f"{k} {v:.4f}" for k, v in ev.items()))
             if c.model_save_step and step % c.model_save_step == 0:
-                ckpt.save(self.ckpt_dir, step, jax.device_get(self.state))
+                ckpt.save(self.ckpt_dir, step, jax.device_get(self.state),
+                          max_to_keep=c.keep_checkpoints or None)
         if lagged is not None:   # final interval's metrics, never yet written
             lstep, lmetrics = lagged
             self.writer.scalars(self._metrics_host(lmetrics), lstep)

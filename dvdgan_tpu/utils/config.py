@@ -71,6 +71,9 @@ class Config:
     log_step: int = 10
     sample_step: int = 500
     model_save_step: int = 1000
+    keep_checkpoints: int = 0         # >0: retain only the newest N
+    #                                   checkpoints (0 = keep all, the
+    #                                   reference behavior)
     eval_step: int = 0                # >0: periodic in-training FVD/IS —
     #                                   evaluate_generator on eval_samples
     #                                   EMA-G samples, logged to scalars

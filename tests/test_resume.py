@@ -103,3 +103,19 @@ def test_trainer_resume_replays_exact_data_stream(tmp_path):
     for a, c in zip(jax.tree.leaves(st_a), jax.tree.leaves(st_c)):
         assert np.array_equal(np.asarray(a), np.asarray(c))
 
+
+
+def test_checkpoint_retention(tmp_path):
+    """save(max_to_keep=N) prunes the oldest checkpoints after a
+    successful write; latest_step still resolves."""
+    from dvdgan_tpu.train import checkpoint as ckpt
+
+    state = {"a": np.arange(4, dtype=np.float32)}
+    d = str(tmp_path / "ck")
+    for s in (1, 2, 3, 4):
+        ckpt.save(d, s, state, max_to_keep=2)
+    kept = sorted(int(x) for x in os.listdir(d) if x.isdigit())
+    assert kept == [3, 4]
+    assert ckpt.latest_step(d) == 4
+    restored = ckpt.restore(d, 4, {"a": np.zeros(4, np.float32)})
+    np.testing.assert_array_equal(restored["a"], state["a"])
