@@ -96,6 +96,51 @@ def conv3d(p: Params, x: jax.Array, stride: tuple[int, int, int] = (1, 1, 1),
     return y
 
 
+def upsample2x_conv3x3(p: Params, x: jax.Array) -> jax.Array:
+    """EXACTLY nearest-upsample-2× followed by a SAME 3×3 conv — computed
+    as ONE 2×2-kernel VALID conv with 4 output phases + an interleave.
+
+    Nearest-up duplicates every pixel, so the 3×3 conv over the upsampled
+    grid re-reads each source pixel with duplicated taps: per output phase
+    (p, q) ∈ {0,1}² the 3 taps collapse to 2 per dimension
+    (⌊(2i+p+a)/2⌋ hits only two distinct source rows), giving per-phase
+    2×2 kernels that are SUMS of the original taps:
+        rows p=0: [w0, w1+w2]      rows p=1: [w0+w1, w2]   (same per cols)
+    16·C·C MACs per source pixel instead of 36·C·C — 2.25× fewer FLOPs,
+    bit-exact up to float reassociation (zero-pad boundaries included;
+    equivalence + gradients tested against the up→conv oracle).
+    """
+    w = p["w"]                                        # (3, 3, Cin, Cout)
+    cout = w.shape[-1]
+    r0 = jnp.stack([w[0], w[1] + w[2]])               # (2, 3, Cin, Cout)
+    r1 = jnp.stack([w[0] + w[1], w[2]])
+
+    def cols(r):
+        return (jnp.stack([r[:, 0], r[:, 1] + r[:, 2]], axis=1),
+                jnp.stack([r[:, 0] + r[:, 1], r[:, 2]], axis=1))
+
+    w00, w01 = cols(r0)
+    w10, w11 = cols(r1)                               # each (2, 2, Cin, Cout)
+    wall = jnp.concatenate([w00, w01, w10, w11], axis=-1).astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp, wall, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))   # (N, H+1, W+1, 4Cout)
+    n, hp1, wp1, _ = y.shape
+    h, wd = hp1 - 1, wp1 - 1
+    y00 = y[:, :h, :wd, 0 * cout:1 * cout]
+    y01 = y[:, :h, 1:, 1 * cout:2 * cout]
+    y10 = y[:, 1:, :wd, 2 * cout:3 * cout]
+    y11 = y[:, 1:, 1:, 3 * cout:4 * cout]
+    top = jnp.stack([y00, y01], axis=3)               # (N, H, W, 2, Cout)
+    bot = jnp.stack([y10, y11], axis=3)
+    out = jnp.stack([top, bot], axis=2)               # (N, H, 2, W, 2, Cout)
+    out = out.reshape(n, 2 * h, 2 * wd, cout)
+    if "b" in p:
+        out = out + p["b"].astype(x.dtype)
+    return out
+
+
 @jax.custom_vjp
 def grad_barrier(x: jax.Array) -> jax.Array:
     """Identity whose BACKWARD materializes the cotangent (optimization

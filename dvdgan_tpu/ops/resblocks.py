@@ -52,16 +52,23 @@ def gresblock(p: dict, stats: dict, x: jax.Array, cond: jax.Array,
     h, s1 = norm.cbn(p["cbn1"], stats["bn1"], x, cond, train, axis_name)
     h = jax.nn.relu(h)
     if upsample:
-        h = resize.upsample_nearest_2x(h)
-    h = layers.conv2d(p["conv1"], h)
+        # exact phase-decomposed up→conv: 2.25× fewer MACs (see layers)
+        h = layers.upsample2x_conv3x3(p["conv1"], h)
+    else:
+        h = layers.conv2d(p["conv1"], h)
     h, s2 = norm.cbn(p["cbn2"], stats["bn2"], h, cond, train, axis_name)
     h = jax.nn.relu(h)
     h = layers.conv2d(p["conv2"], h)
 
     sc = x
     if upsample:
-        sc = resize.upsample_nearest_2x(sc)
-    if "skip" in p:
+        if "skip" in p:
+            # 1×1 conv commutes with nearest-up exactly — conv at LOW
+            # resolution (4× fewer MACs), then upsample
+            sc = resize.upsample_nearest_2x(layers.conv2d(p["skip"], sc))
+        else:
+            sc = resize.upsample_nearest_2x(sc)
+    elif "skip" in p:
         sc = layers.conv2d(p["skip"], sc)
     return h + sc, {"bn1": s1, "bn2": s2}
 

@@ -275,3 +275,57 @@ def test_grad_barrier_is_exact_identity():
 
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), g_p, r_p)
     np.testing.assert_array_equal(g_x, r_x)
+
+
+def test_upsample2x_conv3x3_matches_oracle():
+    """Phase-decomposed up→conv (layers.upsample2x_conv3x3) is EXACTLY
+    nearest-up-2× → SAME 3×3 conv — values and gradients (w, b, x) —
+    including zero-pad boundaries and non-square inputs."""
+    from dvdgan_tpu.ops import layers, resize
+
+    key = jax.random.PRNGKey(0)
+    p = layers.conv2d_init(key, 3, 5, 7)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 6, 5))
+
+    def oracle(p, x):
+        return layers.conv2d(p, resize.upsample_nearest_2x(x))
+
+    def fast(p, x):
+        return layers.upsample2x_conv3x3(p, x)
+
+    yo = oracle(p, x)
+    yf = fast(p, x)
+    assert yf.shape == yo.shape == (2, 8, 12, 7)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yo),
+                               rtol=1e-5, atol=1e-5)
+
+    go = jax.grad(lambda p, x: (oracle(p, x) ** 2).sum(), argnums=(0, 1))(p, x)
+    gf = jax.grad(lambda p, x: (fast(p, x) ** 2).sum(), argnums=(0, 1))(p, x)
+    for a, b in zip(jax.tree.leaves(go), jax.tree.leaves(gf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_gresblock_upsample_paths_match_previous_semantics():
+    """gresblock's optimized upsample main/skip paths reproduce the plain
+    up→conv formulation (skip 1×1 commutes with nearest-up exactly)."""
+    from dvdgan_tpu.ops import layers, norm, resblocks, resize
+
+    key = jax.random.PRNGKey(2)
+    p = resblocks.gresblock_init(key, 6, 10, 12)
+    stats = resblocks.gresblock_stats_init(6, 10)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 4, 6))
+    cond = jax.random.normal(jax.random.PRNGKey(4), (2, 12))
+
+    y, _ = resblocks.gresblock(p, stats, x, cond, train=True, upsample=True)
+
+    # reference formulation, inlined
+    h, _ = norm.cbn(p["cbn1"], stats["bn1"], x, cond, True, None)
+    h = jax.nn.relu(h)
+    h = layers.conv2d(p["conv1"], resize.upsample_nearest_2x(h))
+    h, _ = norm.cbn(p["cbn2"], stats["bn2"], h, cond, True, None)
+    h = jax.nn.relu(h)
+    h = layers.conv2d(p["conv2"], h)
+    sc = layers.conv2d(p["skip"], resize.upsample_nearest_2x(x))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(h + sc),
+                               rtol=1e-5, atol=1e-5)
