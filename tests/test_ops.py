@@ -329,3 +329,38 @@ def test_gresblock_upsample_paths_match_previous_semantics():
     sc = layers.conv2d(p["skip"], resize.upsample_nearest_2x(x))
     np.testing.assert_allclose(np.asarray(y), np.asarray(h + sc),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_dblock_skip_pool_commute_exact():
+    """avg-pool-2x commutes exactly with pointwise skip convs: the
+    pool-first dblock/dblock3d skips reproduce conv-first (both linear);
+    f32 equality to reassociation tolerance."""
+    from dvdgan_tpu.ops import layers, resblocks, resize
+
+    key = jax.random.PRNGKey(5)
+    # 2-D, non-first with skip (the path whose order changed)
+    p = resblocks.dblock_init(key, 6, 9)
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 8, 8, 6))
+    y = resblocks.dblock(p, x, down=True, first=False)
+    # previous formulation of the skip: conv1x1 then pool
+    h = jax.nn.relu(x)
+    h = layers.conv2d(p["conv1"], h)
+    h = jax.nn.relu(h)
+    h = layers.conv2d(p["conv2"], h)
+    h = resize.avg_pool_2x(h)
+    sc = resize.avg_pool_2x(layers.conv2d(p["skip"], x))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(h + sc),
+                               rtol=1e-5, atol=1e-5)
+
+    # 3-D
+    p3 = resblocks.dblock3d_init(jax.random.PRNGKey(7), 6, 9)
+    x3 = jax.random.normal(jax.random.PRNGKey(8), (2, 3, 8, 8, 6))
+    y3 = resblocks.dblock3d(p3, x3, down=True, first=False)
+    h3 = jax.nn.relu(x3)
+    h3 = layers.conv3d(p3["conv1"], h3)
+    h3 = jax.nn.relu(h3)
+    h3 = layers.conv3d(p3["conv2"], h3)
+    h3 = resize.avg_pool_2x_video(h3)
+    sc3 = resize.avg_pool_2x_video(layers.conv3d(p3["skip"], x3))
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(h3 + sc3),
+                               rtol=1e-5, atol=1e-5)
