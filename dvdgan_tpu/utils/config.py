@@ -162,8 +162,10 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def parse_config(argv=None) -> Config:
-    args = build_parser().parse_args(argv)
+def config_from_args(args: argparse.Namespace) -> Config:
+    """Build a Config from a parsed namespace (preset base + explicit
+    overrides). Extra attributes on the namespace (tool-specific flags
+    added to build_parser()'s parser) are ignored."""
     base: dict = {}
     if args.preset:
         base.update(PRESETS[args.preset])
@@ -172,3 +174,7 @@ def parse_config(argv=None) -> Config:
         if v is not None:
             base[f.name] = v
     return Config(**base)
+
+
+def parse_config(argv=None) -> Config:
+    return config_from_args(build_parser().parse_args(argv))

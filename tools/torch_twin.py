@@ -485,3 +485,133 @@ def load_dt(mod: TemporalDiscriminator, params: dict, n_3d_blocks: int
         else:
             set_dblock(mod.blocks[i], blk)
     set_head(mod.head, params["head"])
+
+
+# ------------------------------------------------ torch -> pytree export ----
+# Inverses of the set_* loaders: read a twin module (e.g. after
+# load_state_dict of a reference-layout torch checkpoint) back into
+# dvdgan_tpu parameter pytrees. Used by tools/import_torch_checkpoint.py.
+
+
+def _n(t: torch.Tensor) -> np.ndarray:
+    return t.detach().cpu().numpy().astype(np.float32)
+
+
+def get_conv2d(mod: nn.Conv2d) -> dict:
+    p = {"w": _n(mod.weight).transpose(2, 3, 1, 0)}       # OIHW -> HWIO
+    if mod.bias is not None:
+        p["b"] = _n(mod.bias)
+    return p
+
+
+def get_conv3d(mod: nn.Conv3d) -> dict:
+    p = {"w": _n(mod.weight).transpose(2, 3, 4, 1, 0)}    # OIDHW -> DHWIO
+    if mod.bias is not None:
+        p["b"] = _n(mod.bias)
+    return p
+
+
+def get_linear(mod: nn.Linear) -> dict:
+    p = {"w": _n(mod.weight).T.copy()}                    # (out,in) -> (in,out)
+    if mod.bias is not None:
+        p["b"] = _n(mod.bias)
+    return p
+
+
+def get_gru(mod: ConvGRUCell) -> dict:
+    """Split the concat-kernel convs back into hoisted x/h halves (input
+    channels [0,C) are the x kernel, [C,2C) the h kernel; biases go to the
+    x halves, matching convgru_init's bias placement)."""
+    c = mod.cand.weight.shape[0]
+    gw = _n(mod.gates.weight)                             # (2C, 2C, 3, 3)
+    cw = _n(mod.cand.weight)                              # (C, 2C, 3, 3)
+    return {
+        "gates_x": {"w": gw[:, :c].transpose(2, 3, 1, 0),
+                    "b": _n(mod.gates.bias)},
+        "gates_h": {"w": gw[:, c:].transpose(2, 3, 1, 0)},
+        "cand_x": {"w": cw[:, :c].transpose(2, 3, 1, 0),
+                   "b": _n(mod.cand.bias)},
+        "cand_h": {"w": cw[:, c:].transpose(2, 3, 1, 0)},
+    }
+
+
+def get_cbn(mod: ConditionalNorm) -> tuple[dict, dict]:
+    """(params, stats). The stored running var is copied VERBATIM: both
+    frameworks normalize eval-mode activations with the stored value as-is
+    (the biased/unbiased distinction only affects train-time accumulation)."""
+    p = {"gamma": get_linear(mod.gamma), "beta": get_linear(mod.beta)}
+    s = {"mean": _n(mod.bn.running_mean), "var": _n(mod.bn.running_var)}
+    return p, s
+
+
+def get_bn(mod: nn.BatchNorm2d) -> tuple[dict, dict]:
+    p = {"scale": _n(mod.weight), "bias": _n(mod.bias)}
+    s = {"mean": _n(mod.running_mean), "var": _n(mod.running_var)}
+    return p, s
+
+
+def get_gresblock(mod: GResBlock) -> tuple[dict, dict]:
+    cbn1, bn1 = get_cbn(mod.cbn1)
+    cbn2, bn2 = get_cbn(mod.cbn2)
+    p = {"cbn1": cbn1, "conv1": get_conv2d(mod.conv1),
+         "cbn2": cbn2, "conv2": get_conv2d(mod.conv2)}
+    if mod.skip is not None:
+        p["skip"] = get_conv2d(mod.skip)
+    return p, {"bn1": bn1, "bn2": bn2}
+
+
+def get_dblock(mod: DBlock) -> dict:
+    p = {"conv1": get_conv2d(mod.conv1), "conv2": get_conv2d(mod.conv2)}
+    if mod.skip is not None:
+        p["skip"] = get_conv2d(mod.skip)
+    return p
+
+
+def get_dblock3d(mod: DBlock3d) -> dict:
+    p = {"conv1": get_conv3d(mod.conv1), "conv2": get_conv3d(mod.conv2)}
+    if mod.skip is not None:
+        p["skip"] = get_conv3d(mod.skip)
+    return p
+
+
+def get_attn_pass(mod: AttnPass) -> dict:
+    return {"theta": get_linear(mod.theta), "phi": get_linear(mod.phi),
+            "g": get_linear(mod.g), "out": get_linear(mod.out),
+            "gamma": _n(mod.gamma)}
+
+
+def get_head(mod: ProjectionHead) -> dict:
+    return {"psi": get_linear(mod.psi),
+            "proj": {"emb": _n(mod.proj.weight)}}
+
+
+def export_generator(mod: Generator) -> tuple[dict, dict]:
+    """Twin G -> (params, stats) pytrees shaped exactly like generator.init's."""
+    params = {
+        "embed": {"emb": _n(mod.embed.weight)},
+        "seed": get_linear(mod.seed),
+        "levels": [],
+        "out_bn": None, "out_conv": get_conv2d(mod.out_conv),
+    }
+    stats = {"levels": [], "out_bn": None}
+    for gru, blk in zip(mod.grus, mod.blocks):
+        bp, bs = get_gresblock(blk)
+        params["levels"].append({"gru": get_gru(gru), "block": bp})
+        stats["levels"].append(bs)
+    obn, obs = get_bn(mod.out_bn)
+    params["out_bn"], stats["out_bn"] = obn, obs
+    if mod.attn is not None:
+        params["attn"] = {"spatial": get_attn_pass(mod.attn.spatial),
+                          "temporal": get_attn_pass(mod.attn.temporal)}
+    return params, stats
+
+
+def export_ds(mod: SpatialDiscriminator) -> dict:
+    return {"blocks": [get_dblock(b) for b in mod.blocks],
+            "head": get_head(mod.head)}
+
+
+def export_dt(mod: TemporalDiscriminator) -> dict:
+    blocks = [get_dblock3d(b) if isinstance(b, DBlock3d) else get_dblock(b)
+              for b in mod.blocks]
+    return {"blocks": blocks, "head": get_head(mod.head)}
