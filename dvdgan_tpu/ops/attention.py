@@ -41,6 +41,9 @@ from dvdgan_tpu.ops import layers
 # Default follows the in-context number (SURVEY §7.7 keep-whichever-wins);
 # the kernel remains the right choice for larger maps (128²+ tokens) where
 # the logits tensor dominates — re-measure there before flipping.
+# RE-MEASURED 2026-08-17 after the round-2 perf work (one-D-forward,
+# phase-decomposed upsamples, pooled skips): still loses in context,
+# 22.62/22.65 ON vs 24.10 OFF steps/s — the fusion-boundary cost holds.
 PALLAS_ENABLED = False
 
 

@@ -141,6 +141,61 @@ def upsample2x_conv3x3(p: Params, x: jax.Array) -> jax.Array:
     return out
 
 
+def conv2d_rowpair(p: Params, x: jax.Array) -> jax.Array:
+    """EXACTLY conv2d (3×3, SAME, stride 1) as an output ROW-PAIR conv:
+    adjacent output rows become one 2·Cout-channel conv (rows 2r and 2r+1
+    from the widened window X[2r-1..2r+2]; kernel rows zero-padded to 4,
+    row stride 2), interleaved back. The 2-D analog of conv3d_tpair —
+    doubles MXU lane fill for narrow-Cout convs at 4/3× nominal FLOPs.
+    Requires even H."""
+    w = p["w"]                                     # (3, 3, Cin, Cout)
+    co = w.shape[-1]
+    even = jnp.pad(w, ((0, 1),) + ((0, 0),) * 3)   # rows [w0,w1,w2,0]
+    odd = jnp.pad(w, ((1, 0),) + ((0, 0),) * 3)    # rows [0,w0,w1,w2]
+    wall = jnp.concatenate([even, odd], axis=-1).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, wall, window_strides=(2, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    n, h2, wd, _ = y.shape
+    y = jnp.stack([y[..., :co], y[..., co:]], axis=2)   # (N, H/2, 2, W, C)
+    y = y.reshape(n, 2 * h2, wd, co)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def conv3d_tpair(p: Params, x: jax.Array) -> jax.Array:
+    """EXACTLY conv3d (3×3×3, SAME, stride 1) computed as a temporal
+    OUTPUT-PAIR conv: two adjacent output frames become one 2·Cout-channel
+    conv (kernel taps zero-padded to 4, temporal stride 2), then the pair
+    interleaves back into the time axis.
+
+    Why: DT's 3-D convs have Cout = 32/64 — half (or a quarter) of the
+    MXU's 128 output lanes, which caps them at 25-50% of peak. Pairing
+    doubles the lane fill for 4/3× the nominal FLOPs (the padded taps are
+    zeros but still scheduled): a net win iff the conv was lane-bound.
+    Phase kernels: even outputs Y[2t] read X[2t-1..2t+1] (taps [w0,w1,w2,0]
+    of the widened window X[2t-1..2t+2]); odd outputs Y[2t+1] read
+    X[2t..2t+2] (taps [0,w0,w1,w2]). Bit-exact up to float reassociation
+    (oracle + gradient equivalence tested). Requires even T.
+    """
+    w = p["w"]                                     # (3, 3, 3, Cin, Cout)
+    co = w.shape[-1]
+    even = jnp.pad(w, ((0, 1),) + ((0, 0),) * 4)   # taps [w0,w1,w2,0]
+    odd = jnp.pad(w, ((1, 0),) + ((0, 0),) * 4)    # taps [0,w0,w1,w2]
+    wall = jnp.concatenate([even, odd], axis=-1).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, wall, window_strides=(2, 1, 1),
+        padding=((1, 1), (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    n, t2, h, wd, _ = y.shape
+    y = jnp.stack([y[..., :co], y[..., co:]], axis=2)   # (N, T/2, 2, H, W, C)
+    y = y.reshape(n, 2 * t2, h, wd, co)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
 @jax.custom_vjp
 def grad_barrier(x: jax.Array) -> jax.Array:
     """Identity whose BACKWARD materializes the cotangent (optimization

@@ -25,6 +25,22 @@ import jax
 
 from dvdgan_tpu.ops import layers, norm, resize
 
+# Output row-pair lowering for narrow 2-D convs (layers.conv2d_rowpair):
+# the 2-D analog of TPAIR_ENABLED below, applied where Cout ≤ 64 fills at
+# most half the MXU lanes. MEASURED LOSER (v5e flagship bench, 2026-08-17):
+# 24.0/20.7 steps/s ON vs 25.2 with tpair alone — XLA's 2-D conv lowering
+# is not lane-bound at these widths, so the 4/3× FLOPs + row interleave
+# only cost. Kept (exact, oracle-tested) for wider-map configs; do not
+# flip without re-measuring.
+ROWPAIR_ENABLED = False
+
+
+def _conv2d_main(p: dict, x: jax.Array) -> jax.Array:
+    if (ROWPAIR_ENABLED and p["w"].shape[-1] <= 64
+            and x.shape[1] % 2 == 0):
+        return layers.conv2d_rowpair(p, x)
+    return layers.conv2d(p, x)
+
 
 # ------------------------------------------------------------- GResBlock ----
 
@@ -58,7 +74,7 @@ def gresblock(p: dict, stats: dict, x: jax.Array, cond: jax.Array,
         h = layers.conv2d(p["conv1"], h)
     h, s2 = norm.cbn(p["cbn2"], stats["bn2"], h, cond, train, axis_name)
     h = jax.nn.relu(h)
-    h = layers.conv2d(p["conv2"], h)
+    h = _conv2d_main(p["conv2"], h)
 
     sc = x
     if upsample:
@@ -90,9 +106,9 @@ def dblock(p: dict, x: jax.Array, down: bool, first: bool = False
            ) -> jax.Array:
     """x: (N, H, W, Cin) -> (N, H', W', Cout)."""
     h = x if first else jax.nn.relu(x)
-    h = layers.conv2d(p["conv1"], h)
+    h = _conv2d_main(p["conv1"], h)
     h = jax.nn.relu(h)
-    h = layers.conv2d(p["conv2"], h)
+    h = _conv2d_main(p["conv2"], h)
     if down:
         h = resize.avg_pool_2x(h)
 
@@ -108,6 +124,20 @@ def dblock(p: dict, x: jax.Array, down: bool, first: bool = False
 
 
 # ------------------------------------------------------------ DBlock (3D) ---
+
+# Temporal output-pair lowering for the 3-D convs (layers.conv3d_tpair):
+# doubles MXU lane fill at Cout 32/64 for 4/3× nominal FLOPs — a win iff
+# the conv is lane-bound, which DT's are. MEASURED (v5e flagship bench,
+# scan-amortized, 2026-08-17): 25.20/25.18 steps/s ON vs 24.10 OFF (+4.5%).
+# Exact math (oracle + grad test); odd-T inputs fall back to plain conv3d.
+TPAIR_ENABLED = True
+
+
+def _conv3d_main(p: dict, x: jax.Array) -> jax.Array:
+    if TPAIR_ENABLED and x.shape[1] % 2 == 0:
+        return layers.conv3d_tpair(p, x)
+    return layers.conv3d(p, x)
+
 
 def dblock3d_init(key, cin: int, cout: int, first: bool = False) -> dict:
     k1, k2, k3 = jax.random.split(key, 3)
@@ -128,12 +158,12 @@ def dblock3d(p: dict, x: jax.Array, down: bool, first: bool = False
              ) -> jax.Array:
     """x: (N, T, H, W, Cin) -> (N, T, H', W', Cout); pooling is spatial-only."""
     h = x if first else jax.nn.relu(x)
-    h = layers.conv3d(p["conv1"], h)
+    h = _conv3d_main(p["conv1"], h)
     if first:
         # split the backward fusion at the cin=3 stem (see grad_barrier)
         h = layers.grad_barrier(h)
     h = jax.nn.relu(h)
-    h = layers.conv3d(p["conv2"], h)
+    h = _conv3d_main(p["conv2"], h)
     if down:
         h = _avg_pool_2x_spatial_video(h)
 

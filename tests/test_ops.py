@@ -364,3 +364,71 @@ def test_dblock_skip_pool_commute_exact():
     sc3 = resize.avg_pool_2x_video(layers.conv3d(p3["skip"], x3))
     np.testing.assert_allclose(np.asarray(y3), np.asarray(h3 + sc3),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_conv3d_tpair_matches_conv3d():
+    """Temporal output-pair lowering (layers.conv3d_tpair): exact forward,
+    reassociation-tolerance gradients, and the dblock3d TPAIR_ENABLED knob
+    preserves the block's output."""
+    p = layers.conv3d_init(jax.random.PRNGKey(40), (3, 3, 3), 5, 7)
+    x = jax.random.normal(jax.random.PRNGKey(41), (2, 6, 4, 4, 5))
+    np.testing.assert_allclose(np.asarray(layers.conv3d(p, x)),
+                               np.asarray(layers.conv3d_tpair(p, x)),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(fn, w, x):
+        return (fn({"w": w, "b": p["b"]}, x) ** 2).sum()
+
+    gw_a, gx_a = jax.grad(lambda w, x: loss(layers.conv3d, w, x),
+                          argnums=(0, 1))(p["w"], x)
+    gw_b, gx_b = jax.grad(lambda w, x: loss(layers.conv3d_tpair, w, x),
+                          argnums=(0, 1))(p["w"], x)
+    np.testing.assert_allclose(np.asarray(gw_a), np.asarray(gw_b),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_b),
+                               rtol=1e-4, atol=1e-4)
+
+    pb = resblocks.dblock3d_init(jax.random.PRNGKey(42), 5, 7, first=False)
+    xb = jax.random.normal(jax.random.PRNGKey(43), (2, 4, 8, 8, 5))
+    base = resblocks.dblock3d(pb, xb, down=True)
+    resblocks.TPAIR_ENABLED = True
+    try:
+        paired = resblocks.dblock3d(pb, xb, down=True)
+    finally:
+        resblocks.TPAIR_ENABLED = False
+    np.testing.assert_allclose(np.asarray(base), np.asarray(paired),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv2d_rowpair_matches_conv2d():
+    """Output row-pair lowering (layers.conv2d_rowpair): exact forward,
+    reassociation-tolerance gradients, odd widths fine (only H must be
+    even), and the ROWPAIR_ENABLED knob preserves dblock/gresblock outputs."""
+    p = layers.conv2d_init(jax.random.PRNGKey(50), 3, 5, 7)
+    x = jax.random.normal(jax.random.PRNGKey(51), (2, 6, 7, 5))
+    np.testing.assert_allclose(np.asarray(layers.conv2d(p, x)),
+                               np.asarray(layers.conv2d_rowpair(p, x)),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(fn, w, xx):
+        return (fn({"w": w, "b": p["b"]}, xx) ** 2).sum()
+
+    gw_a, gx_a = jax.grad(lambda w, xx: loss(layers.conv2d, w, xx),
+                          argnums=(0, 1))(p["w"], x)
+    gw_b, gx_b = jax.grad(lambda w, xx: loss(layers.conv2d_rowpair, w, xx),
+                          argnums=(0, 1))(p["w"], x)
+    np.testing.assert_allclose(np.asarray(gw_a), np.asarray(gw_b),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_b),
+                               rtol=1e-4, atol=1e-4)
+
+    pb = resblocks.dblock_init(jax.random.PRNGKey(52), 5, 7, first=False)
+    xb = jax.random.normal(jax.random.PRNGKey(53), (2, 8, 8, 5))
+    base = resblocks.dblock(pb, xb, down=True)
+    resblocks.ROWPAIR_ENABLED = True
+    try:
+        paired = resblocks.dblock(pb, xb, down=True)
+    finally:
+        resblocks.ROWPAIR_ENABLED = False
+    np.testing.assert_allclose(np.asarray(base), np.asarray(paired),
+                               rtol=1e-5, atol=1e-5)
