@@ -134,7 +134,11 @@ TPAIR_ENABLED = True
 
 
 def _conv3d_main(p: dict, x: jax.Array) -> jax.Array:
-    if TPAIR_ENABLED and x.shape[1] % 2 == 0:
+    # cout >= 64 only: pairing then fills the full 128 lanes. At cout=32
+    # (the 128/256px DT stems) pairing reaches just 64 lanes — measured a
+    # NET LOSS at 256px/48f (2.26 vs 2.36 steps/s, the 4/3x FLOPs at 128^2
+    # spatial don't pay for half-filled lanes).
+    if TPAIR_ENABLED and x.shape[1] % 2 == 0 and p["w"].shape[-1] >= 64:
         return layers.conv3d_tpair(p, x)
     return layers.conv3d(p, x)
 

@@ -388,7 +388,8 @@ def test_conv3d_tpair_matches_conv3d():
     np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_b),
                                rtol=1e-4, atol=1e-4)
 
-    pb = resblocks.dblock3d_init(jax.random.PRNGKey(42), 5, 7, first=False)
+    # cout >= 64 so the knob's cout gate actually engages the paired path
+    pb = resblocks.dblock3d_init(jax.random.PRNGKey(42), 5, 64, first=False)
     xb = jax.random.normal(jax.random.PRNGKey(43), (2, 4, 8, 8, 5))
     base = resblocks.dblock3d(pb, xb, down=True)
     resblocks.TPAIR_ENABLED = True
