@@ -135,3 +135,32 @@ def test_import_end_to_end(tmp_path):
                                train=False)
     np.testing.assert_allclose(np.asarray(v_src), np.asarray(v_imp),
                                atol=0.0)
+
+
+def test_export_then_import_roundtrip(tmp_path):
+    """export_torch_checkpoint ∘ import conversion == identity on params."""
+    from tools import export_torch_checkpoint as exp
+
+    out_dir = str(tmp_path / "run")
+    cfg = _tiny_cfg(out_dir)
+    g_cfg, ds_cfg, dt_cfg = cfg.g_config(), cfg.ds_config(), cfg.dt_config()
+    state = train_state.create(jax.random.PRNGKey(6), g_cfg, ds_cfg, dt_cfg,
+                               cfg.train_config())
+    checkpoint.save(os.path.join(out_dir, "checkpoints"), 3, state)
+
+    exp_dir = str(tmp_path / "torch")
+    written = exp.main(TINY_FLAGS + ["--out_dir", out_dir,
+                                     "--export_dir", exp_dir,
+                                     "--pretrained_model", "3"])
+    assert sorted(os.path.basename(p) for p in written) == [
+        "DS.pth", "DT.pth", "G.pth", "G_ema.pth"]
+
+    g_sd = imp._load_state_dict(os.path.join(exp_dir, "G.pth"))
+    ds_sd = imp._load_state_dict(os.path.join(exp_dir, "DS.pth"))
+    dt_sd = imp._load_state_dict(os.path.join(exp_dir, "DT.pth"))
+    g_params, g_stats, ds_params, dt_params = imp.convert(
+        g_sd, ds_sd, dt_sd, g_cfg, ds_cfg, dt_cfg)
+    _tree_equal(state["g"]["params"], g_params)
+    _tree_equal(state["g"]["stats"], g_stats)
+    _tree_equal(state["ds"]["params"], ds_params)
+    _tree_equal(state["dt"]["params"], dt_params)
