@@ -170,8 +170,11 @@ def apply(params: dict, stats: dict, z: jax.Array, y: jax.Array,
             h0 = warm[-1]
         else:
             h0 = None
+        # level 0's generation input is the seed broadcast over time —
+        # the GRU input conv runs once and broadcasts (exact, 1/T FLOPs)
         h_seq = convgru.convgru(lvl["gru"], x_seq, h0=h0,
-                                time_major=True)               # (T,B,H,W,C)
+                                time_major=True,
+                                x_static=(i == 0))             # (T,B,H,W,C)
         hw = h_seq.shape[2]
         h = h_seq.reshape(t * b, hw, hw, h_seq.shape[-1])      # fold time
         h, s = resblocks.gresblock(

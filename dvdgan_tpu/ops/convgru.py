@@ -77,7 +77,7 @@ def _cell_from_hoisted(p: dict, gx: jax.Array, cx: jax.Array, h: jax.Array
 
 def convgru(p: dict, x_seq: jax.Array, h0: jax.Array | None = None,
             unroll: int = 2, use_pallas: bool | None = None,
-            time_major: bool = False) -> jax.Array:
+            time_major: bool = False, x_static: bool = False) -> jax.Array:
     """Unroll over time. x_seq: (B, T, H, W, C) — or (T, B, H, W, C) with
     `time_major=True` — -> hidden sequence, same layout.
 
@@ -94,6 +94,11 @@ def convgru(p: dict, x_seq: jax.Array, h0: jax.Array | None = None,
     (kernels/convgru_cell.py) for the scan body: None (default) auto-enables
     it on TPU backends when the state fits VMEM; the plain-XLA path is used
     otherwise (and on CPU, where the kernel would run interpreted).
+
+    `x_static=True` asserts all T input frames are IDENTICAL (the
+    generator's level-0 input is the latent seed broadcast over time): the
+    input conv then runs once on one frame and broadcasts — exactly the
+    same values at 1/T of the conv FLOPs.
     """
     if time_major:
         t, b, h, w, c = x_seq.shape
@@ -102,22 +107,29 @@ def convgru(p: dict, x_seq: jax.Array, h0: jax.Array | None = None,
     if h0 is None:
         h0 = jnp.zeros((b, h, w, c), x_seq.dtype)
 
-    xf = x_seq.reshape(b * t, h, w, c)  # fold order matches input layout
     # ONE fused input conv C -> 3C instead of two (2C and C): identical
     # math by output-channel concatenation (each output channel's dot
-    # product is unchanged), but reads xf once and fills the MXU's
+    # product is unchanged), but reads the input once and fills the MXU's
     # 128-wide output lanes better at the narrow tail levels (3C=96 vs
     # 64/32 at ch=32).
     wcat = jnp.concatenate([p["gates_x"]["w"], p["cand_x"]["w"]], axis=-1)
     bcat = jnp.concatenate([p["gates_x"]["b"], p["cand_x"]["b"]])
-    gcx = layers.conv2d({"w": wcat, "b": bcat}, xf)
-    gx, cx = gcx[..., :2 * c], gcx[..., 2 * c:]
-    if time_major:
-        gx = gx.reshape(t, b, h, w, 2 * c)
-        cx = cx.reshape(t, b, h, w, c)
+    if x_static:
+        x0 = x_seq[0] if time_major else x_seq[:, 0]
+        gcx0 = layers.conv2d({"w": wcat, "b": bcat}, x0)   # (B, H, W, 3C)
+        gx = jnp.broadcast_to(gcx0[None, ..., :2 * c],
+                              (t, b, h, w, 2 * c))
+        cx = jnp.broadcast_to(gcx0[None, ..., 2 * c:], (t, b, h, w, c))
     else:
-        gx = jnp.moveaxis(gx.reshape(b, t, h, w, 2 * c), 1, 0)
-        cx = jnp.moveaxis(cx.reshape(b, t, h, w, c), 1, 0)
+        xf = x_seq.reshape(b * t, h, w, c)   # fold order matches layout
+        gcx = layers.conv2d({"w": wcat, "b": bcat}, xf)
+        gx, cx = gcx[..., :2 * c], gcx[..., 2 * c:]
+        if time_major:
+            gx = gx.reshape(t, b, h, w, 2 * c)
+            cx = cx.reshape(t, b, h, w, c)
+        else:
+            gx = jnp.moveaxis(gx.reshape(b, t, h, w, 2 * c), 1, 0)
+            cx = jnp.moveaxis(cx.reshape(b, t, h, w, c), 1, 0)
 
     if use_pallas is None:
         # bf16-only: the f32 variant both blows Mosaic's scoped-VMEM stack

@@ -433,3 +433,22 @@ def test_conv2d_rowpair_matches_conv2d():
         resblocks.ROWPAIR_ENABLED = False
     np.testing.assert_allclose(np.asarray(base), np.asarray(paired),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_convgru_x_static_matches_broadcast_input():
+    """x_static=True (input conv once + broadcast) == the full per-frame
+    conv when all T frames are identical — the generator's level-0 case."""
+    c, t, b = 6, 5, 2
+    p = convgru.convgru_init(jax.random.PRNGKey(60), c)
+    x0 = jax.random.normal(jax.random.PRNGKey(61), (b, 8, 8, c))
+    x_seq = jnp.broadcast_to(x0[None], (t, b, 8, 8, c))
+    base = convgru.convgru(p, x_seq, time_major=True)
+    fast = convgru.convgru(p, x_seq, time_major=True, x_static=True)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(fast),
+                               rtol=1e-6, atol=1e-6)
+    # and through a nonzero initial hidden state
+    h0 = jax.random.normal(jax.random.PRNGKey(62), (b, 8, 8, c))
+    base_h = convgru.convgru(p, x_seq, h0=h0, time_major=True)
+    fast_h = convgru.convgru(p, x_seq, h0=h0, time_major=True, x_static=True)
+    np.testing.assert_allclose(np.asarray(base_h), np.asarray(fast_h),
+                               rtol=1e-6, atol=1e-6)
