@@ -179,21 +179,29 @@ def conv3d_tpair(p: Params, x: jax.Array) -> jax.Array:
     X[2t..2t+2] (taps [0,w0,w1,w2]). Bit-exact up to float reassociation
     (oracle + gradient equivalence tested). Requires even T.
     """
-    w = p["w"]                                     # (3, 3, 3, Cin, Cout)
+    y = conv3d_tpair_core(p["w"], x, time_pad=(1, 1))
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def conv3d_tpair_core(w: jax.Array, x: jax.Array,
+                      time_pad: tuple[int, int]) -> jax.Array:
+    """The output-pair lowering shared by conv3d_tpair (time_pad=(1,1),
+    SAME semantics) and the time-CP halo conv (time_pad=(0,0): x already
+    carries 1-frame halos, so stride-2 windows from the left halo cover
+    exactly the local output frames). No bias."""
     co = w.shape[-1]
     even = jnp.pad(w, ((0, 1),) + ((0, 0),) * 4)   # taps [w0,w1,w2,0]
     odd = jnp.pad(w, ((1, 0),) + ((0, 0),) * 4)    # taps [0,w0,w1,w2]
     wall = jnp.concatenate([even, odd], axis=-1).astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x, wall, window_strides=(2, 1, 1),
-        padding=((1, 1), (1, 1), (1, 1)),
+        padding=(time_pad, (1, 1), (1, 1)),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
     n, t2, h, wd, _ = y.shape
     y = jnp.stack([y[..., :co], y[..., co:]], axis=2)   # (N, T/2, 2, H, W, C)
-    y = y.reshape(n, 2 * t2, h, wd, co)
-    if "b" in p:
-        y = y + p["b"].astype(x.dtype)
-    return y
+    return y.reshape(n, 2 * t2, h, wd, co)
 
 
 @jax.custom_vjp

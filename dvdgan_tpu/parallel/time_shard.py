@@ -60,23 +60,11 @@ def _conv3d_halo(p, x: jax.Array, axis_name: str) -> jax.Array:
     over the halo'd window — the same exact-math MXU-lane-fill win the
     unsharded dblock3d gets (windows at stride 2 from the left halo cover
     exactly the T_local output frames)."""
-    from dvdgan_tpu.ops import resblocks as _rb
     xh = _halo_exchange(x, axis_name)
     t_local = x.shape[1]
-    if (_rb.TPAIR_ENABLED and t_local % 2 == 0
+    if (resblocks.TPAIR_ENABLED and t_local % 2 == 0
             and p["w"].shape[-1] >= 64):      # same cout gate as _conv3d_main
-        w = p["w"]
-        co = w.shape[-1]
-        even = jnp.pad(w, ((0, 1),) + ((0, 0),) * 4)
-        odd = jnp.pad(w, ((1, 0),) + ((0, 0),) * 4)
-        wall = jnp.concatenate([even, odd], axis=-1).astype(x.dtype)
-        y = jax.lax.conv_general_dilated(
-            xh, wall, window_strides=(2, 1, 1),
-            padding=((0, 0), (1, 1), (1, 1)),
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-        n, t2, hh, ww, _ = y.shape
-        y = jnp.stack([y[..., :co], y[..., co:]], axis=2)
-        y = y.reshape(n, 2 * t2, hh, ww, co)
+        y = layers.conv3d_tpair_core(p["w"], xh, time_pad=(0, 0))
     else:
         w = p["w"].astype(x.dtype)
         y = jax.lax.conv_general_dilated(

@@ -164,3 +164,15 @@ def test_export_then_import_roundtrip(tmp_path):
     _tree_equal(state["g"]["stats"], g_stats)
     _tree_equal(state["ds"]["params"], ds_params)
     _tree_equal(state["dt"]["params"], dt_params)
+
+
+def test_fp_checkpoints_rejected():
+    """cond_frames > 0 (DVD-GAN-FP) must raise, not silently drop fp_enc."""
+    from tools import export_torch_checkpoint as exp
+
+    fp_cfg = GConfig(img_size=32, n_frames=4, ch=4, z_dim=12, n_classes=5,
+                     emb_dim=8, attn_res=16, cond_frames=2)
+    with pytest.raises(ValueError, match="cond_frames"):
+        imp.convert({}, {}, {}, fp_cfg, None, None)
+    with pytest.raises(ValueError, match="cond_frames"):
+        exp.export_state({}, fp_cfg, None, None, "/tmp/never")

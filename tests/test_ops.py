@@ -388,15 +388,19 @@ def test_conv3d_tpair_matches_conv3d():
     np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_b),
                                rtol=1e-4, atol=1e-4)
 
-    # cout >= 64 so the knob's cout gate actually engages the paired path
+    # cout >= 64 so the knob's cout gate actually engages the paired path;
+    # base MUST be computed with the knob off (the shipped default is ON)
+    # and the prior value restored, not clobbered
     pb = resblocks.dblock3d_init(jax.random.PRNGKey(42), 5, 64, first=False)
     xb = jax.random.normal(jax.random.PRNGKey(43), (2, 4, 8, 8, 5))
-    base = resblocks.dblock3d(pb, xb, down=True)
-    resblocks.TPAIR_ENABLED = True
+    prev = resblocks.TPAIR_ENABLED
     try:
+        resblocks.TPAIR_ENABLED = False
+        base = resblocks.dblock3d(pb, xb, down=True)
+        resblocks.TPAIR_ENABLED = True
         paired = resblocks.dblock3d(pb, xb, down=True)
     finally:
-        resblocks.TPAIR_ENABLED = False
+        resblocks.TPAIR_ENABLED = prev
     np.testing.assert_allclose(np.asarray(base), np.asarray(paired),
                                rtol=1e-5, atol=1e-5)
 
@@ -425,12 +429,14 @@ def test_conv2d_rowpair_matches_conv2d():
 
     pb = resblocks.dblock_init(jax.random.PRNGKey(52), 5, 7, first=False)
     xb = jax.random.normal(jax.random.PRNGKey(53), (2, 8, 8, 5))
-    base = resblocks.dblock(pb, xb, down=True)
-    resblocks.ROWPAIR_ENABLED = True
+    prev = resblocks.ROWPAIR_ENABLED
     try:
+        resblocks.ROWPAIR_ENABLED = False
+        base = resblocks.dblock(pb, xb, down=True)
+        resblocks.ROWPAIR_ENABLED = True
         paired = resblocks.dblock(pb, xb, down=True)
     finally:
-        resblocks.ROWPAIR_ENABLED = False
+        resblocks.ROWPAIR_ENABLED = prev
     np.testing.assert_allclose(np.asarray(base), np.asarray(paired),
                                rtol=1e-5, atol=1e-5)
 

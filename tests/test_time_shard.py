@@ -50,3 +50,32 @@ def test_time_sharded_dt_grads_match():
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
                            atol=1e-4)
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs multi-device")
+def test_paired_halo_conv_matches_plain():
+    """The cout>=64 temporal-pair halo conv (layers.conv3d_tpair_core with
+    pre-halo'd input) == the plain SAME conv3d over the full clip — the
+    production (TPAIR_ENABLED) code path the other tests' tiny channels
+    never reach."""
+    from jax.sharding import PartitionSpec as P
+
+    from dvdgan_tpu.ops import layers, resblocks
+    from dvdgan_tpu.parallel import time_shard
+
+    assert resblocks.TPAIR_ENABLED   # shipped default engages the pair path
+    n_time = 2
+    mesh = make_mesh(shape=(n_time,), axis_names=("time",),
+                     devices=jax.devices()[:n_time])
+    p = layers.conv3d_init(jax.random.PRNGKey(5), (3, 3, 3), 8, 64)
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 8, 6, 6, 8))
+
+    want = layers.conv3d(p, x)
+
+    def fn(shard):
+        return time_shard._conv3d_halo(p, shard, "time")
+
+    got = jax.shard_map(fn, mesh=mesh, in_specs=P(None, "time"),
+                        out_specs=P(None, "time"), check_vma=False)(x)
+    assert np.allclose(np.asarray(want), np.asarray(got), rtol=1e-4,
+                       atol=1e-4)

@@ -65,6 +65,13 @@ def convert(g_sd, ds_sd, dt_sd, g_cfg, ds_cfg, dt_cfg):
     all float32 numpy pytrees shaped exactly like the init() trees."""
     from tools import torch_twin as tw
 
+    if g_cfg.cond_frames > 0:
+        # the twin models the synthesis variant only; silently dropping the
+        # FP encoder would produce a checkpoint whose G tree mismatches the
+        # resume template far from the cause
+        raise ValueError(
+            "cond_frames > 0 (DVD-GAN-FP) checkpoints cannot be "
+            "converted: torch_twin has no frame-encoder module")
     g = tw.Generator(g_cfg)
     g.load_state_dict(g_sd, strict=True)
     g_params, g_stats = tw.export_generator(g)
@@ -104,13 +111,14 @@ def build_state(cfg, g_params, g_stats, ds_params, dt_params,
     state["step"] = jnp.asarray(step, jnp.int32)
 
     # converge the fresh SN u vectors against the imported weights so the
-    # first resumed steps normalize with an accurate σ (one power-iteration
-    # step per round, exactly the per-step training dynamics)
-    for model in ("g", "ds", "dt"):
-        u = state[model]["sn_u"]
-        for _ in range(max(sn_warmup, 0)):
-            _, u = sn.sn_normalize(state[model]["params"], u, update=True)
-        state[model]["sn_u"] = u
+    # first resumed steps normalize with an accurate σ (n_iter chained
+    # power-iteration steps == the same steps spread over training steps)
+    if sn_warmup > 0:
+        for model in ("g", "ds", "dt"):
+            _, u = sn.sn_normalize(state[model]["params"],
+                                   state[model]["sn_u"], update=True,
+                                   n_iter=sn_warmup)
+            state[model]["sn_u"] = u
     return state
 
 
