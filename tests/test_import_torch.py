@@ -166,13 +166,16 @@ def test_export_then_import_roundtrip(tmp_path):
     _tree_equal(state["dt"]["params"], dt_params)
 
 
-def test_fp_checkpoints_rejected():
-    """cond_frames > 0 (DVD-GAN-FP) must raise, not silently drop fp_enc."""
-    from tools import export_torch_checkpoint as exp
-
+def test_fp_generator_roundtrip():
+    """DVD-GAN-FP checkpoints (cond_frames > 0) round-trip through the
+    twin: fp_enc included, bit-exact."""
     fp_cfg = GConfig(img_size=32, n_frames=4, ch=4, z_dim=12, n_classes=5,
                      emb_dim=8, attn_res=16, cond_frames=2)
-    with pytest.raises(ValueError, match="cond_frames"):
-        imp.convert({}, {}, {}, fp_cfg, None, None)
-    with pytest.raises(ValueError, match="cond_frames"):
-        exp.export_state({}, fp_cfg, None, None, "/tmp/never")
+    g_params, g_stats = generator.init(jax.random.PRNGKey(7), fp_cfg)
+    assert "fp_enc" in g_params
+    m = tw.Generator(fp_cfg)
+    tw.load_generator(m, jax.tree.map(np.asarray, g_params),
+                      jax.tree.map(np.asarray, g_stats))
+    out_params, out_stats = tw.export_generator(m)
+    _tree_equal(g_params, out_params)
+    _tree_equal(g_stats, out_stats)

@@ -368,3 +368,30 @@ def test_generator_sn_normalized_forward():
     with torch.no_grad():
         theirs = m(to_t(z), torch.from_numpy(y))
     assert_close(ours, theirs, atol=1e-4, rtol=1e-4)
+
+
+def test_fp_generator_full_forward():
+    """DVD-GAN-FP parity: frame-encoder pyramid (incl. XLA's asymmetric
+    stride-2 SAME padding) + per-level GRU warm-up + generation unroll."""
+    g_cfg = GConfig(img_size=32, n_frames=4, ch=4, z_dim=12, n_classes=5,
+                    emb_dim=8, attn_res=16, cond_frames=2)
+    rng = RNG(17)
+    params, stats = generator.init(jax.random.PRNGKey(25), g_cfg)
+    params["attn"]["spatial"]["gamma"] = jnp.float32(0.4)
+    params["attn"]["temporal"]["gamma"] = jnp.float32(0.2)
+    z = rng.randn(2, g_cfg.z_dim).astype(np.float32)
+    y = rng.randint(0, g_cfg.n_classes, 2)
+    cond = rng.rand(2, 2, 32, 32, 3).astype(np.float32) * 2.0 - 1.0
+
+    ours, _ = generator.apply(params, stats, jnp.asarray(z),
+                              jnp.asarray(y), g_cfg, train=False,
+                              cond_video=jnp.asarray(cond))
+
+    m = tw.Generator(g_cfg)
+    tw.load_generator(m, jax.tree.map(np.asarray, params),
+                      jax.tree.map(np.asarray, stats))
+    m.eval()
+    with torch.no_grad():
+        theirs = m(to_t(z), torch.from_numpy(y), cond_video=to_t(cond))
+    assert ours.shape == (2, 4, 32, 32, 3)
+    assert_close(ours, theirs, atol=1e-4, rtol=1e-4)

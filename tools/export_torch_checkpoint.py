@@ -31,11 +31,6 @@ def export_state(state: dict, g_cfg, ds_cfg, dt_cfg, export_dir: str) -> list:
 
     from tools import torch_twin as tw
 
-    if g_cfg.cond_frames > 0:
-        raise ValueError(
-            "cond_frames > 0 (DVD-GAN-FP) checkpoints cannot be "
-            "exported: torch_twin has no frame-encoder module, so the "
-            "fp_enc weights would be silently dropped")
     os.makedirs(export_dir, exist_ok=True)
     to_np = lambda tree: jax.tree.map(  # noqa: E731
         lambda a: np.asarray(a, np.float32), tree)

@@ -65,13 +65,6 @@ def convert(g_sd, ds_sd, dt_sd, g_cfg, ds_cfg, dt_cfg):
     all float32 numpy pytrees shaped exactly like the init() trees."""
     from tools import torch_twin as tw
 
-    if g_cfg.cond_frames > 0:
-        # the twin models the synthesis variant only; silently dropping the
-        # FP encoder would produce a checkpoint whose G tree mismatches the
-        # resume template far from the cause
-        raise ValueError(
-            "cond_frames > 0 (DVD-GAN-FP) checkpoints cannot be "
-            "converted: torch_twin has no frame-encoder module")
     g = tw.Generator(g_cfg)
     g.load_state_dict(g_sd, strict=True)
     g_params, g_stats = tw.export_generator(g)

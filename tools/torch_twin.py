@@ -214,9 +214,44 @@ class SeparableAttn(nn.Module):
         return x
 
 
+class FPEncoder(nn.Module):
+    """DVD-GAN-FP frame encoder (models/generator._fp_encoder_init): a
+    strided-conv pyramid from img_size down to base_res; the stage landing
+    at resolution 4·2^i emits level i's GRU input channels. The stride-2
+    convs replicate XLA's asymmetric SAME padding on even inputs
+    (pad (0,1) per spatial dim) via explicit F.pad — torch's symmetric
+    padding=1 would shift the window grid."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        n = cfg.n_levels
+        stem_c = cfg.ch * cfg.mults[n - 1]
+        stages = [nn.Conv2d(3, stem_c, 3, padding=1)]
+        cin = stem_c
+        for i in range(n - 1, -1, -1):
+            stages.append(nn.Conv2d(cin, cfg.ch * cfg.mults[i], 3,
+                                    padding=0, stride=2))
+            cin = cfg.ch * cfg.mults[i]
+        self.stages = nn.ModuleList(stages)
+        self.n = n
+
+    def forward(self, cond):
+        # cond (B, C_frames, H, W, 3) channels-last -> {level: (B*Cf, C, r, r)}
+        b, cf = cond.shape[:2]
+        x = cond.reshape(b * cf, *cond.shape[2:]).permute(0, 3, 1, 2)
+        x = F.relu(self.stages[0](x))
+        taps = {}
+        for j, i in enumerate(range(self.n - 1, -1, -1)):
+            x = F.relu(self.stages[j + 1](F.pad(x, (0, 1, 0, 1))))
+            taps[i] = x
+        return taps, b, cf
+
+
 class Generator(nn.Module):
     """Reference-semantics G (SURVEY.md §2.6/§3.2). Takes the dvdgan_tpu
-    GConfig for its topology so both frameworks build identical shapes."""
+    GConfig for its topology so both frameworks build identical shapes.
+    With cfg.cond_frames > 0 (DVD-GAN-FP) each level's ConvGRU warms up
+    over the encoded real prefix before the generation unroll."""
 
     def __init__(self, cfg):
         super().__init__()
@@ -239,10 +274,11 @@ class Generator(nn.Module):
             self.attn_level = int(math.log2(cfg.attn_res // cfg.base_res)) - 1
             c_attn = cfg.ch * cfg.mults[self.attn_level + 1]
             self.attn = SeparableAttn(c_attn)
+        self.fp_enc = FPEncoder(cfg) if cfg.cond_frames > 0 else None
         self.out_bn = nn.BatchNorm2d(c_last)
         self.out_conv = nn.Conv2d(c_last, 3, 3, padding=1)
 
-    def forward(self, z, y):
+    def forward(self, z, y, cond_video=None):
         cfg = self.cfg
         b = z.shape[0]
         t = cfg.n_frames
@@ -250,6 +286,9 @@ class Generator(nn.Module):
         e = self.embed(y)
         chunks = torch.chunk(z, n + 1, dim=-1)
         c0 = cfg.ch * cfg.mults[0]
+        enc_taps = None
+        if self.fp_enc is not None:
+            enc_taps, _, n_cond = self.fp_enc(cond_video)
         # the seed vector lays out as (H, W, C) row-major — the same memory
         # order the channels-last framework reshapes into
         x = self.seed(chunks[0]).view(b, cfg.base_res, cfg.base_res, c0)
@@ -258,6 +297,16 @@ class Generator(nn.Module):
         for i in range(n):
             cond = torch.cat([chunks[i + 1], e], dim=-1)
             h = torch.zeros_like(frames[0])
+            if enc_taps is not None:
+                # warm-up: scan the level's GRU over the encoded prefix
+                tap = enc_taps[i]                      # (B*Cf, C, r, r)
+                cc = tap.shape[1]
+                r = tap.shape[-1]
+                seq = tap.reshape(b, n_cond, cc, r, r)
+                hw = torch.zeros_like(seq[:, 0])
+                for j in range(n_cond):
+                    hw = self.grus[i](seq[:, j], hw)
+                h = hw
             outs = []
             for xt in frames:                          # sequential ConvGRU
                 h = self.grus[i](xt, h)
@@ -467,6 +516,10 @@ def load_generator(mod: Generator, params: dict, stats: dict) -> None:
         set_gresblock(mod.blocks[i], lvl["block"], stats["levels"][i])
     if mod.attn is not None:
         set_separable_attn(mod.attn, params["attn"])
+    if mod.fp_enc is not None:
+        for stage_mod, stage_p in zip(mod.fp_enc.stages,
+                                      params["fp_enc"]["stages"]):
+            set_conv2d(stage_mod, stage_p)
     set_bn(mod.out_bn, params["out_bn"], stats["out_bn"])
     set_conv2d(mod.out_conv, params["out_conv"])
 
@@ -603,6 +656,9 @@ def export_generator(mod: Generator) -> tuple[dict, dict]:
     if mod.attn is not None:
         params["attn"] = {"spatial": get_attn_pass(mod.attn.spatial),
                           "temporal": get_attn_pass(mod.attn.temporal)}
+    if mod.fp_enc is not None:
+        params["fp_enc"] = {
+            "stages": [get_conv2d(s) for s in mod.fp_enc.stages]}
     return params, stats
 
 
