@@ -191,17 +191,32 @@ def conv3d_tpair_core(w: jax.Array, x: jax.Array,
     SAME semantics) and the time-CP halo conv (time_pad=(0,0): x already
     carries 1-frame halos, so stride-2 windows from the left halo cover
     exactly the local output frames). No bias."""
+    return conv3d_tphase_core(w, x, 2, time_pad)
+
+
+def conv3d_tphase_core(w: jax.Array, x: jax.Array, n_phases: int,
+                       time_pad: tuple[int, int]) -> jax.Array:
+    """Generalized temporal output-phasing of a kt=3 conv3d: n adjacent
+    output frames become one n·Cout-channel conv with temporal stride n.
+    Output nτ+p reads inputs nτ+p-1..nτ+p+1, i.e. kernel positions
+    p..p+2 of the widened (3+n-1)-tap window starting at nτ-1 — so phase
+    p's kernel is w zero-padded with p leading and n-1-p trailing taps.
+    The SAME-padding arithmetic is n-independent: pad (1,1) gives exactly
+    T/n windows. n=2 doubles lane fill at 4/3× FLOPs (Cout=64); n=4
+    quadruples it at 2× FLOPs (Cout=32). Exact math; requires T % n == 0.
+    No bias."""
     co = w.shape[-1]
-    even = jnp.pad(w, ((0, 1),) + ((0, 0),) * 4)   # taps [w0,w1,w2,0]
-    odd = jnp.pad(w, ((1, 0),) + ((0, 0),) * 4)    # taps [0,w0,w1,w2]
-    wall = jnp.concatenate([even, odd], axis=-1).astype(x.dtype)
+    phases = [jnp.pad(w, ((p, n_phases - 1 - p),) + ((0, 0),) * 4)
+              for p in range(n_phases)]
+    wall = jnp.concatenate(phases, axis=-1).astype(x.dtype)
     y = jax.lax.conv_general_dilated(
-        x, wall, window_strides=(2, 1, 1),
+        x, wall, window_strides=(n_phases, 1, 1),
         padding=(time_pad, (1, 1), (1, 1)),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-    n, t2, h, wd, _ = y.shape
-    y = jnp.stack([y[..., :co], y[..., co:]], axis=2)   # (N, T/2, 2, H, W, C)
-    return y.reshape(n, 2 * t2, h, wd, co)
+    n, tn, h, wd, _ = y.shape
+    y = y.reshape(n, tn, h, wd, n_phases, co)       # phase-major blocks
+    y = jnp.moveaxis(y, 4, 2)                       # (N, T/n, n, H, W, C)
+    return y.reshape(n, tn * n_phases, h, wd, co)
 
 
 @jax.custom_vjp

@@ -134,11 +134,14 @@ TPAIR_ENABLED = True
 
 
 def _conv3d_main(p: dict, x: jax.Array) -> jax.Array:
-    # cout >= 64 only: pairing then fills the full 128 lanes. At cout=32
-    # (the 128/256px DT stems) pairing reaches just 64 lanes — measured a
-    # NET LOSS at 256px/48f (2.26 vs 2.36 steps/s, the 4/3x FLOPs at 128^2
-    # spatial don't pay for half-filled lanes).
-    if TPAIR_ENABLED and x.shape[1] % 2 == 0 and p["w"].shape[-1] >= 64:
+    # cout in [64,128) only: pairing then fills the full 128 lanes. At the
+    # cout=32 stems (128/256px DT) BOTH alternatives measured no better:
+    # pairing (64 lanes, 4/3× FLOPs) was a net LOSS at 256px/48f (2.26 vs
+    # 2.36 steps/s) and QUAD-phasing (128 lanes, 2× FLOPs,
+    # layers.conv3d_tphase_core n=4) was a wash (128px 6.57 vs 6.64, 256px
+    # 2.41 vs 2.39 — the extra FLOPs cancel the fill). Plain conv there.
+    if (TPAIR_ENABLED and x.shape[1] % 2 == 0
+            and 64 <= p["w"].shape[-1] < 128):
         return layers.conv3d_tpair(p, x)
     return layers.conv3d(p, x)
 

@@ -458,3 +458,21 @@ def test_convgru_x_static_matches_broadcast_input():
     fast_h = convgru.convgru(p, x_seq, h0=h0, time_major=True, x_static=True)
     np.testing.assert_allclose(np.asarray(base_h), np.asarray(fast_h),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_conv3d_tphase_quad_matches_conv3d():
+    """4-phase temporal lowering: exact forward and reassociation-tolerance
+    gradients. Kept as available infrastructure — the dblock3d gate does
+    NOT use it (measured a wash on-chip: 2× FLOPs cancel the 4× lane
+    fill at the cout=32 stems; see _conv3d_main)."""
+    p = layers.conv3d_init(jax.random.PRNGKey(70), (3, 3, 3), 5, 32)
+    x = jax.random.normal(jax.random.PRNGKey(71), (2, 8, 4, 4, 5))
+    want = layers.conv3d(p, x)
+    got = layers.conv3d_tphase_core(p["w"], x, 4, (1, 1)) + p["b"]
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                               rtol=1e-5, atol=1e-5)
+    gw_a = jax.grad(lambda w: (layers.conv3d({"w": w}, x) ** 2).sum())(p["w"])
+    gw_b = jax.grad(lambda w: (layers.conv3d_tphase_core(
+        w, x, 4, (1, 1)) ** 2).sum())(p["w"])
+    np.testing.assert_allclose(np.asarray(gw_a), np.asarray(gw_b),
+                               rtol=1e-4, atol=1e-4)
