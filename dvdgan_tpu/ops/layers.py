@@ -148,6 +148,8 @@ def conv2d_rowpair(p: Params, x: jax.Array) -> jax.Array:
     row stride 2), interleaved back. The 2-D analog of conv3d_tpair —
     doubles MXU lane fill for narrow-Cout convs at 4/3× nominal FLOPs.
     Requires even H."""
+    if x.shape[1] % 2:
+        raise ValueError(f"conv2d_rowpair needs even H, got {x.shape[1]}")
     w = p["w"]                                     # (3, 3, Cin, Cout)
     co = w.shape[-1]
     even = jnp.pad(w, ((0, 1),) + ((0, 0),) * 3)   # rows [w0,w1,w2,0]
@@ -205,6 +207,11 @@ def conv3d_tphase_core(w: jax.Array, x: jax.Array, n_phases: int,
     T/n windows. n=2 doubles lane fill at 4/3× FLOPs (Cout=64); n=4
     quadruples it at 2× FLOPs (Cout=32). Exact math; requires T % n == 0.
     No bias."""
+    if (x.shape[1] + sum(time_pad) - 2) % n_phases:
+        # would silently truncate trailing output frames otherwise
+        raise ValueError(
+            f"temporal length {x.shape[1]} (+pad {time_pad}) not divisible "
+            f"into {n_phases}-frame output phases")
     co = w.shape[-1]
     phases = [jnp.pad(w, ((p, n_phases - 1 - p),) + ((0, 0),) * 4)
               for p in range(n_phases)]

@@ -63,7 +63,9 @@ def _conv3d_halo(p, x: jax.Array, axis_name: str) -> jax.Array:
     xh = _halo_exchange(x, axis_name)
     t_local = x.shape[1]
     if (resblocks.TPAIR_ENABLED and t_local % 2 == 0
-            and p["w"].shape[-1] >= 64):      # same cout gate as _conv3d_main
+            and 64 <= p["w"].shape[-1] < 128):  # same gate as _conv3d_main:
+        # cout >= 128 pairs past the 128 lanes — pure FLOP overhead, and
+        # the sharded lowering must match the unsharded one
         y = layers.conv3d_tpair_core(p["w"], xh, time_pad=(0, 0))
     else:
         w = p["w"].astype(x.dtype)
