@@ -49,11 +49,18 @@ def _video_reader():
 
         def read(path):
             arr = np.asarray(iio.imread(path, plugin=None))
-            if arr.ndim == 3:          # single frame
-                arr = arr[None]
-            if arr.shape[-1] == 4:     # RGBA gifs
+            if arr.ndim == 2:                   # single grayscale frame
+                arr = arr[None, ..., None]
+            elif arr.ndim == 3:
+                if arr.shape[-1] in (3, 4):     # single RGB(A) frame
+                    arr = arr[None]
+                else:                           # grayscale video (T, H, W)
+                    arr = arr[..., None]
+            if arr.shape[-1] == 1:              # L-mode: replicate to RGB
+                arr = np.repeat(arr, 3, axis=-1)
+            if arr.shape[-1] == 4:              # RGBA gifs
                 arr = arr[..., :3]
-            return np.ascontiguousarray(arr[..., :3].astype(np.uint8))
+            return np.ascontiguousarray(arr.astype(np.uint8))
         return read
     except Exception:
         return None
@@ -103,7 +110,13 @@ def _load_frames_u8(path: str) -> np.ndarray:
     if path.endswith(".npy"):
         arr = np.load(path)
         if arr.dtype != np.uint8:
-            arr = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+            # float clips: [0,1], or the framework's own [-1,1] output
+            # convention (detected by negative values — clipping those to
+            # 0 would silently destroy half the range)
+            a = arr.astype(np.float32)
+            if a.min() < 0.0:
+                a = (a + 1.0) * 0.5
+            arr = (np.clip(a, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
         return arr
     if path.lower().endswith(_VIDEO_EXT):
         if not _decodable(path):
@@ -155,9 +168,12 @@ class FrameFolderDataset:
         t = self.n_frames
         # window start (short clips wrap modulo T0 — loop padding), drawn
         # from a per-(seed, epoch, idx) stream — see set_epoch
+        # mask to 31 bits in PYTHON ints before RandomState sees it:
+        # np.uint32(big) raises OverflowError under NumPy >= 2 (any
+        # seed >= 4295 used to crash the first __getitem__)
         rng = np.random.RandomState(
-            np.uint32(self.seed * 1000003 + self._epoch * 9973
-                      + idx * 101 + 17) & 0x7FFFFFFF)
+            (self.seed * 1000003 + self._epoch * 9973
+             + idx * 101 + 17) & 0x7FFFFFFF)
         start = rng.randint(0, t0 - t + 1) if t0 >= t else 0
         # fused window+crop+resize+normalize (C++ when built, numpy else)
         clip = native.clip_window(frames, t, self.img_size, start)

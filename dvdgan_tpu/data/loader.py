@@ -100,11 +100,28 @@ class Loader:
                 yield item
         finally:
             stop.set()
+            # a consumer abandoning the generator early leaves the worker
+            # blocked in q.put on the full queue; drain until it exits so
+            # the thread (and its in-flight decoded batches — hundreds of
+            # MB at 256px/48f) don't leak for the process lifetime
+            while th.is_alive():
+                try:
+                    q.get(timeout=0.05)
+                except queue.Empty:
+                    pass
+            th.join()
 
     def forever(self, start_epoch: int = 0, start_batch: int = 0
                 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Endless stream (the reference's `while True: next(loader)`);
         (start_epoch, start_batch) resumes mid-stream exactly."""
+        if self.batches_per_epoch() == 0:
+            # an empty epoch would spin forever (thread+queue per lap)
+            # with next(data) never returning — fail loudly instead
+            raise ValueError(
+                f"dataset of {len(self.ds)} items yields zero batches at "
+                f"batch_size={self.batch_size} (drop_last="
+                f"{self.drop_last})")
         e = start_epoch
         while True:
             yield from self.epoch(e, start_batch)

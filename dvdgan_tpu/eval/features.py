@@ -158,6 +158,12 @@ class C3DFeatures:
         return np.asarray(jax.device_get(feats), np.float64)
 
 
+def _softmax_np(logits: np.ndarray) -> np.ndarray:
+    """Numerically-stable softmax shared by the *ClassifierProbs wrappers."""
+    e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+    return e / e.sum(axis=-1, keepdims=True)
+
+
 class C3DClassifierProbs:
     """(B, T, H, W, 3) -> (B, 101) softmax of C3D UCF-101 logits — the
     published UCF-101 video-IS classifier (TGAN protocol, used by
@@ -176,8 +182,7 @@ class C3DClassifierProbs:
     def from_features(self, logits: np.ndarray) -> np.ndarray:
         """Probs from ALREADY-extracted logits (shared-extractor eval:
         avoids a second full C3D forward per batch)."""
-        e = np.exp(logits - logits.max(axis=-1, keepdims=True))
-        return e / e.sum(axis=-1, keepdims=True)
+        return _softmax_np(logits)
 
     def __call__(self, video) -> np.ndarray:
         return self.from_features(self.fx(video))
@@ -204,8 +209,7 @@ class I3DClassifierProbs:
     def from_features(self, logits: np.ndarray) -> np.ndarray:
         """Probs from ALREADY-extracted logits (shared-extractor eval:
         avoids a second full I3D forward per batch)."""
-        e = np.exp(logits - logits.max(axis=-1, keepdims=True))
-        return e / e.sum(axis=-1, keepdims=True)
+        return _softmax_np(logits)
 
     def __call__(self, video) -> np.ndarray:
         return self.from_features(self.fx(video))

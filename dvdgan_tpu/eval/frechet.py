@@ -18,6 +18,11 @@ def statistics(features: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     f = np.asarray(features, np.float64)
     if f.ndim != 2:
         raise ValueError(f"features must be (N, D), got {f.shape}")
+    if f.shape[0] < 2:
+        # np.cov on one observation divides by N-1=0 and returns all-NaN,
+        # which would propagate a silent nan FVD/FID into the results JSON
+        raise ValueError(
+            f"need >= 2 feature rows for a covariance, got {f.shape[0]}")
     mu = f.mean(axis=0)
     cov = np.cov(f, rowvar=False)
     return mu, np.atleast_2d(cov)

@@ -197,9 +197,23 @@ def apply(params: dict, video: jax.Array, feature: str = "logits",
             x = _max_pool(x, window, stride)
         else:
             x = _mixed(params, name, x)
-    x = x.mean(axis=(1, 2, 3))                       # global avg pool -> 1024
+    x = x.mean(axis=(2, 3))                          # spatial mean (B,T',1024)
     if feature == "avgpool":
-        return x
+        return x.mean(axis=1)
+    # Published logits head: avg_pool3d window (2,7,7) stride 1 VALID over
+    # Mixed_5c, 1×1×1 logits conv, then mean over the T'-1 temporal
+    # positions. The conv is linear, so this equals a WEIGHTED temporal
+    # mean of the spatially-pooled features — endpoint frames appear in
+    # one window (weight 1/(2(T'-1))), interior frames in two (1/(T'-1)).
+    # A uniform mean is only equivalent at T' <= 2 (16-frame clips); the
+    # 48-frame protocol (T'=6) needs the true weighting.
+    tl = x.shape[1]
+    if tl > 2:
+        w_t = jnp.full((tl,), 1.0 / (tl - 1), x.dtype)
+        w_t = w_t.at[0].set(0.5 / (tl - 1)).at[-1].set(0.5 / (tl - 1))
+        x = jnp.einsum("btd,t->bd", x, w_t)
+    else:
+        x = x.mean(axis=1)
     w = params["logits/w"].astype(x.dtype).reshape(1024, NUM_CLASSES)
     return x @ w + params["logits/b"].astype(x.dtype)
 

@@ -82,12 +82,13 @@ def evaluate_generator(trainer, extractor: Callable, n_samples: int = 256,
     ds = trainer.dataset
     cf = getattr(trainer.g_cfg, "cond_frames", 0)
     n = min(n_samples, len(ds))
-    real_feats = extract_features(
-        extractor, (ds[i][0] for i in range(n)), batch_size)
-    real_frame_feats = (extract_features(
-        frame_extractor, (ds[i][0] for i in range(n)), batch_size)
-        if frame_extractor is not None else None)
 
+    # ONE decode per real clip: each batch is loaded once and feeds the
+    # video extractor, the frame extractor AND (in prediction mode) the
+    # conditioning prefixes — decoding is the host bottleneck at 256px/48f
+    # and the naive per-consumer generator ran it 2-3x per clip.
+    real_feats = []
+    real_frame_feats = []
     fake_feats = []
     fake_frame_feats = []
     probs = []
@@ -95,12 +96,16 @@ def evaluate_generator(trainer, extractor: Callable, n_samples: int = 256,
     done = 0
     while done < n:
         b = min(batch_size, n - done)
+        reals = np.stack([np.asarray(ds[done + j][0], np.float32)
+                          for j in range(b)])
+        yy = np.asarray([ds[done + j][1] for j in range(b)], np.int32)
+        real_feats.append(extractor(reals))
+        if frame_extractor is not None:
+            real_frame_feats.append(frame_extractor(reals))
+
         key, kz, ky = jax.random.split(key, 3)
         z = jax.random.normal(kz, (b, trainer.g_cfg.z_dim))
         if cf:
-            reals = np.stack([np.asarray(ds[done + j][0], np.float32)
-                              for j in range(b)])
-            yy = np.asarray([ds[done + j][1] for j in range(b)], np.int32)
             cond = jnp.asarray(reals[:, :cf])
             gen = np.asarray(jax.device_get(
                 trainer.sample(z, jnp.asarray(yy), cond=cond)), np.float32)
@@ -122,9 +127,11 @@ def evaluate_generator(trainer, extractor: Callable, n_samples: int = 256,
             else:
                 probs.append(classifier(fake))
         done += b
-    out = {"fvd": fvd(real_feats, np.concatenate(fake_feats))}
+    out = {"fvd": fvd(np.concatenate(real_feats),
+                      np.concatenate(fake_feats))}
     if frame_extractor is not None:
-        out["fid"] = fid(real_frame_feats, np.concatenate(fake_frame_feats))
+        out["fid"] = fid(np.concatenate(real_frame_feats),
+                         np.concatenate(fake_frame_feats))
     if probs:
         m, s = inception_score(np.concatenate(probs))
         out.update(is_mean=m, is_std=s)

@@ -3,6 +3,10 @@ folder fixtures (.npy — no codecs needed), window sampling, normalization
 range, loader batching/prefetch."""
 
 import numpy as np
+import pytest
+
+from dvdgan_tpu.data import frames as frames
+from dvdgan_tpu.data import loader as loader
 
 from dvdgan_tpu.data import FrameFolderDataset, Loader, SyntheticVideoDataset
 from dvdgan_tpu.utils.media import denorm_uint8, video_grid
@@ -235,3 +239,78 @@ def test_frame_folder_mid_epoch_resume_exact(tmp_path):
     for (ca, la), (cb, lb) in zip(full[2:], tail):
         np.testing.assert_array_equal(ca, cb)
         np.testing.assert_array_equal(la, lb)
+
+
+def test_large_seed_does_not_overflow(tmp_path):
+    """np.uint32(big) raises under NumPy >= 2; the window-stream seed must
+    mask in Python ints first (seed >= 4295 used to crash __getitem__)."""
+    root = tmp_path / "ds"
+    (root / "a").mkdir(parents=True)
+    np.save(root / "a" / "v0.npy",
+            (np.random.RandomState(0).rand(6, 8, 8, 3) * 255).astype(np.uint8))
+    ds = frames.FrameFolderDataset(str(root), n_frames=4, img_size=8,
+                                   seed=123456789)
+    ds.set_epoch(10**6)
+    clip, label = ds[0]
+    assert clip.shape == (4, 8, 8, 3) and label == 0
+
+
+def test_negative_float_npy_uses_minus_one_one_convention(tmp_path):
+    """Float .npy clips containing negatives are [-1,1] (the framework's
+    own output convention) — they must rescale, not clip to black."""
+    root = tmp_path / "ds"
+    (root / "a").mkdir(parents=True)
+    np.save(root / "a" / "v0.npy",
+            np.full((4, 8, 8, 3), -0.5, np.float32))   # mid-dark gray
+    ds = frames.FrameFolderDataset(str(root), n_frames=4, img_size=8)
+    clip, _ = ds[0]
+    # (-0.5+1)/2 = 0.25 -> u8 64 -> normalized ~ -0.5 (old code clipped
+    # all negatives to 0 -> -1.0)
+    assert abs(float(clip.mean()) + 0.5) < 0.02
+
+
+def test_loader_rejects_empty_epoch():
+    """dataset smaller than batch_size with drop_last must raise, not spin
+    forever spawning a thread per lap."""
+    ds = [(np.zeros((2, 4, 4, 3), np.float32), 0)] * 3
+    ld = loader.Loader(ds, batch_size=8, drop_last=True)
+    with pytest.raises(ValueError, match="zero batches"):
+        next(ld.forever())
+
+
+def test_abandoned_epoch_does_not_leak_worker(tmp_path):
+    """Closing the epoch generator early must unblock and join the
+    prefetch worker (it used to stay parked in q.put forever)."""
+    import threading
+
+    ds = [(np.zeros((2, 4, 4, 3), np.float32), 0)] * 16
+    ld = loader.Loader(ds, batch_size=2, prefetch=1, num_threads=1)
+    before = set(threading.enumerate())
+    it = ld.epoch(0)
+    next(it)          # worker running, queue full
+    it.close()        # generator finally: stop + drain + join
+    leaked = [t for t in threading.enumerate()
+              if t not in before and t.is_alive()]
+    assert not leaked
+
+
+def test_grayscale_video_decode_shape(tmp_path):
+    """An L-mode animated GIF decodes to (T, H, W) — it must become a
+    (T, H, W, 3) clip, not a garbage single 'frame' sliced on width."""
+    pytest.importorskip("imageio")
+    from PIL import Image
+
+    p = str(tmp_path / "gray.gif")
+    ims = [Image.fromarray((np.full((8, 8), v)).astype(np.uint8), "L")
+           for v in (0, 80, 160, 240)]
+    ims[0].save(p, save_all=True, append_images=ims[1:], duration=40, loop=0)
+    arr = frames._READ_VIDEO(p)
+    assert arr.shape == (4, 8, 8, 3), arr.shape
+    # all three channels replicate the gray values
+    assert np.array_equal(arr[..., 0], arr[..., 1])
+
+
+def test_frechet_requires_two_rows():
+    from dvdgan_tpu.eval import frechet
+    with pytest.raises(ValueError, match=">= 2"):
+        frechet.statistics(np.ones((1, 4)))
