@@ -22,11 +22,20 @@ on top only where profiling says it wins.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from dvdgan_tpu import kernels
 from dvdgan_tpu.ops import layers
+
+# A/B knob for the temporal pass (read at import):
+#   "fold"   — moveaxis T next to C, reshape to (B·H·W, T, C) token batches
+#   "einsum" — einsum directly on the 5-D layout; XLA chooses the movement
+# MEASURED (v5e flagship scan-bench, 2026-08-17): einsum 24.39/24.20/24.44
+# vs fold 24.34/24.39/24.41 steps/s — neutral; "fold" stays the default.
+_TEMPORAL_MODE = os.environ.get("DVDGAN_TEMPORAL_ATTN", "fold")
 
 # Global default for the fused-Pallas spatial pass (auto mode only);
 # per-call `use_pallas` always wins. MEASURED (v5e, 2026-08-16):
@@ -116,6 +125,19 @@ def separable_attn(p: dict, x: jax.Array, use_pallas: bool | None = None,
         x = xs.reshape(x.shape)
 
     # --- temporal: tokens over T, batch = B*H*W ------------------------------
+    if _TEMPORAL_MODE == "einsum":
+        tp = p["temporal"]
+        q = layers.linear(tp["theta"], x)
+        k = layers.linear(tp["phi"], x)
+        v = layers.linear(tp["g"], x)
+        lhs = "tbhwc" if time_major else "bthwc"
+        rhs = "sbhwc" if time_major else "bshwc"
+        logits = jnp.einsum(f"{lhs},{rhs}->bhwts", q, k
+                            ).astype(jnp.float32)
+        attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        o = jnp.einsum(f"bhwts,{rhs}->{lhs}", attn, v)
+        o = layers.linear(tp["out"], o)
+        return x + tp["gamma"].astype(x.dtype) * o
     time_src = 0 if time_major else 1
     xt = jnp.moveaxis(x, time_src, 3)            # (B?, H, W, T, C)-ish
     tm_shape = xt.shape

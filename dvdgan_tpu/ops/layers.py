@@ -20,12 +20,25 @@ here, to XLA:TPU convolutions on the MXU.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from dvdgan_tpu.core import init as winit
 
 Params = dict
+
+# A/B knob for the temporal-phase interleave lowering (read at import):
+#   "stack"    — per-phase channel slices stacked on a new time-minor axis
+#   "moveaxis" — reshape → moveaxis(phase, 2) → reshape (one transpose)
+# Both are the same math (bitwise, tested); they steer XLA toward different
+# copy emissions in the BACKWARD (the forward interleave fuses into the
+# consumer convs either way, but the cotangent un-interleave materializes:
+# moveaxis emits 6-D transpose copies, stack emits strided slices).
+# MEASURED (v5e flagship scan-bench, 3 runs each, 2026-08-17):
+# stack 24.96/25.02/25.01 vs moveaxis 24.34/24.39/24.41 steps/s (+2.5%).
+_TPHASE_INTERLEAVE = os.environ.get("DVDGAN_TPHASE_INTERLEAVE", "stack")
 
 
 # ---------------------------------------------------------------- linear ----
@@ -221,8 +234,12 @@ def conv3d_tphase_core(w: jax.Array, x: jax.Array, n_phases: int,
         padding=(time_pad, (1, 1), (1, 1)),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
     n, tn, h, wd, _ = y.shape
-    y = y.reshape(n, tn, h, wd, n_phases, co)       # phase-major blocks
-    y = jnp.moveaxis(y, 4, 2)                       # (N, T/n, n, H, W, C)
+    if _TPHASE_INTERLEAVE == "stack":
+        parts = [y[..., p * co:(p + 1) * co] for p in range(n_phases)]
+        y = jnp.stack(parts, axis=2)                # (N, T/n, n, H, W, C)
+    else:
+        y = y.reshape(n, tn, h, wd, n_phases, co)   # phase-major blocks
+        y = jnp.moveaxis(y, 4, 2)                   # (N, T/n, n, H, W, C)
     return y.reshape(n, tn * n_phases, h, wd, co)
 
 

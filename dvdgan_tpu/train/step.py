@@ -166,8 +166,8 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
             return ix.reshape(b, k)
 
     # ---- DT scoring: plain, or time-sharded CP (SURVEY §5.7) --------------
-    # clips are FULL resolution — φ is folded into DT's first conv
-    # (discriminator.dt_stem), so no half-res RGB clip is materialized
+    # clips are passed at FULL resolution — the φ 2× avg-pool happens inside
+    # dt_apply (discriminator.py), once per forward
     def dt_score(dt_sn, full_clip, yy):
         if time_axis is None:
             return discriminator.dt_apply(dt_sn, full_clip, yy, dt_cfg)

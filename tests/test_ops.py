@@ -476,3 +476,57 @@ def test_conv3d_tphase_quad_matches_conv3d():
         w, x, 4, (1, 1)) ** 2).sum())(p["w"])
     np.testing.assert_allclose(np.asarray(gw_a), np.asarray(gw_b),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_tphase_interleave_variants_agree():
+    """Both interleave lowerings ("moveaxis"/"stack") are the same math —
+    forward and gradients bitwise on CPU (they reorder no arithmetic)."""
+    p = layers.conv3d_init(jax.random.PRNGKey(80), (3, 3, 3), 6, 8)
+    x = jax.random.normal(jax.random.PRNGKey(81), (2, 8, 4, 4, 6))
+
+    def run():
+        y, vjp = jax.vjp(
+            lambda xx, ww: layers.conv3d_tphase_core(ww, xx, 2, (1, 1)),
+            x, p["w"])
+        return (y, *vjp(jnp.ones_like(y)))
+
+    prev = layers._TPHASE_INTERLEAVE
+    try:
+        layers._TPHASE_INTERLEAVE = "moveaxis"
+        a = run()
+        layers._TPHASE_INTERLEAVE = "stack"
+        b = run()
+    finally:
+        layers._TPHASE_INTERLEAVE = prev
+    for u, v in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+
+
+def test_temporal_attention_modes_agree():
+    """The folded-token and direct-einsum temporal passes compute the same
+    attention (gradients to f32 reassociation tolerance)."""
+    from dvdgan_tpu.ops import attention
+
+    p = attention.separable_attn_init(jax.random.PRNGKey(82), 16)
+    # nonzero gammas so both passes contribute
+    p = jax.tree.map(lambda t: t + 0.1, p)
+    x = jax.random.normal(jax.random.PRNGKey(83), (2, 4, 6, 6, 16))
+
+    def run(tm):
+        xx = jnp.moveaxis(x, 1, 0) if tm else x
+        y, vjp = jax.vjp(
+            lambda q: attention.separable_attn(p, q, time_major=tm), xx)
+        return (y, *vjp(jnp.ones_like(xx)))
+
+    prev = attention._TEMPORAL_MODE
+    try:
+        for tm in (False, True):
+            attention._TEMPORAL_MODE = "fold"
+            a = run(tm)
+            attention._TEMPORAL_MODE = "einsum"
+            b = run(tm)
+            for u, v in zip(a, b):
+                np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                           rtol=1e-5, atol=1e-5)
+    finally:
+        attention._TEMPORAL_MODE = prev
