@@ -20,8 +20,8 @@ import json
 import time
 
 import jax
-import jax.numpy as jnp
-import numpy as np
+
+from tools import _bench_common as bc
 
 # FLOP-derived UPPER bound on the fp32 PyTorch reference at this config on
 # one V100 (derivation in BASELINE.md) — dividing by an upper bound makes
@@ -37,37 +37,16 @@ CALLS = 4
 
 
 def main():
-    import functools
-
-    from dvdgan_tpu.models import DSConfig, DTConfig, GConfig
-    from dvdgan_tpu.train import TrainConfig, create
-    from dvdgan_tpu.train import step as step_mod
-
-    g_cfg = GConfig(img_size=64, n_frames=16, ch=32, z_dim=120,
-                    n_classes=101, emb_dim=120, attn_res=32)
-    ds_cfg = DSConfig(img_size=64, ch=32, n_classes=101, k_frames=8)
-    dt_cfg = DTConfig(img_size=64, n_frames=16, ch=32, n_classes=101)
-    tc = TrainConfig(d_steps=2, batch_size=BATCH_PER_CHIP)
-
+    # the FIXED flagship config (no env overrides here — this is the
+    # driver's harness); built by the same shared builder the profile and
+    # config-bench tools use so they can never drift (tools/_bench_common)
+    g_cfg, ds_cfg, dt_cfg, tc, dims = bc.build_configs(
+        {"batch": BATCH_PER_CHIP})
     # init on the host CPU (QR-based orthogonal init compiles slowly on the
     # device and isn't what's being measured), then place on the chip
-    with jax.default_device(jax.devices("cpu")[0]):
-        state = create(jax.random.PRNGKey(0), g_cfg, ds_cfg, dt_cfg, tc)
-    state = jax.device_put(state, jax.devices()[0])
-    rng = np.random.RandomState(0)
-    real = jnp.asarray(
-        rng.randn(BATCH_PER_CHIP, 16, 64, 64, 3), jnp.bfloat16)
-    y = jnp.asarray(rng.randint(0, 101, BATCH_PER_CHIP), jnp.int32)
-
-    one_step = functools.partial(step_mod.train_step, g_cfg=g_cfg,
-                                 ds_cfg=ds_cfg, dt_cfg=dt_cfg, tc=tc)
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def multi_step(state, real, y, key):
-        def body(st, i):
-            st, m = one_step(st, real, y, jax.random.fold_in(key, i))
-            return st, m["g_loss"]
-        return jax.lax.scan(body, state, jnp.arange(STEPS_PER_CALL))
+    state, real, y = bc.init_state_and_batch(g_cfg, ds_cfg, dt_cfg, tc, dims)
+    multi_step = bc.make_multi_step(g_cfg, ds_cfg, dt_cfg, tc,
+                                    STEPS_PER_CALL)
 
     state, losses = multi_step(state, real, y, jax.random.PRNGKey(0))
     # NOTE: fetch a scalar to the host for a true barrier —

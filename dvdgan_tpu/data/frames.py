@@ -52,14 +52,24 @@ def _video_reader():
             if arr.ndim == 2:                   # single grayscale frame
                 arr = arr[None, ..., None]
             elif arr.ndim == 3:
-                if arr.shape[-1] in (3, 4):     # single RGB(A) frame
+                if arr.shape[-1] in (2, 3, 4):  # single LA/RGB/RGBA frame
+                    # (a genuine grayscale video of frame-width 2-4 would
+                    # be misread here — vanishingly unlikely vs LA images)
                     arr = arr[None]
                 else:                           # grayscale video (T, H, W)
                     arr = arr[..., None]
+            elif arr.ndim != 4:
+                raise ValueError(
+                    f"undecodable array rank {arr.ndim} from {path}")
+            if arr.shape[-1] == 2:              # LA-mode: drop alpha
+                arr = arr[..., :1]
             if arr.shape[-1] == 1:              # L-mode: replicate to RGB
                 arr = np.repeat(arr, 3, axis=-1)
-            if arr.shape[-1] == 4:              # RGBA gifs
+            elif arr.shape[-1] == 4:            # RGBA gifs
                 arr = arr[..., :3]
+            elif arr.shape[-1] != 3:
+                raise ValueError(
+                    f"unsupported channel count {arr.shape[-1]} in {path}")
             return np.ascontiguousarray(arr.astype(np.uint8))
         return read
     except Exception:
@@ -105,16 +115,20 @@ def _list_videos(root: str) -> Tuple[List[Tuple[str, int]], List[str]]:
     return items, classes
 
 
-def _load_frames_u8(path: str) -> np.ndarray:
-    """-> (T0, H, W, 3) uint8."""
+def _load_frames_u8(path: str, npy_range: str = "auto") -> np.ndarray:
+    """-> (T0, H, W, 3) uint8.
+
+    `npy_range` fixes the value convention of FLOAT .npy clips for the
+    whole dataset: "unit" = [0,1], "symmetric" = [-1,1] (the framework's
+    own output convention), "auto" = per-file detection by the presence of
+    negative values. Auto misreads an all-non-negative [-1,1] clip as
+    [0,1] — datasets with a known convention should say so explicitly."""
     if path.endswith(".npy"):
         arr = np.load(path)
         if arr.dtype != np.uint8:
-            # float clips: [0,1], or the framework's own [-1,1] output
-            # convention (detected by negative values — clipping those to
-            # 0 would silently destroy half the range)
             a = arr.astype(np.float32)
-            if a.min() < 0.0:
+            if npy_range == "symmetric" or (npy_range == "auto"
+                                            and a.min() < 0.0):
                 a = (a + 1.0) * 0.5
             arr = (np.clip(a, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
         return arr
@@ -138,13 +152,17 @@ class FrameFolderDataset:
     """Map-style dataset over extracted-frame dirs / .npy clips."""
 
     def __init__(self, root: str, n_frames: int, img_size: int,
-                 seed: int = 0):
+                 seed: int = 0, npy_range: str = "auto"):
+        if npy_range not in ("auto", "unit", "symmetric"):
+            raise ValueError(f"npy_range {npy_range!r}: must be auto | "
+                             "unit | symmetric")
         self.items, self.classes = _list_videos(root)
         if not self.items:
             raise ValueError(f"no videos under {root}")
         self.n_frames = n_frames
         self.img_size = img_size
         self.seed = seed
+        self.npy_range = npy_range
         self._epoch = 0
 
     @property
@@ -163,7 +181,7 @@ class FrameFolderDataset:
 
     def __getitem__(self, idx: int):
         path, label = self.items[idx]
-        frames = _load_frames_u8(path)
+        frames = _load_frames_u8(path, self.npy_range)
         t0 = frames.shape[0]
         t = self.n_frames
         # window start (short clips wrap modulo T0 — loop padding), drawn

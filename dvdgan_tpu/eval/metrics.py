@@ -96,9 +96,10 @@ def evaluate_generator(trainer, extractor: Callable, n_samples: int = 256,
     done = 0
     while done < n:
         b = min(batch_size, n - done)
-        reals = np.stack([np.asarray(ds[done + j][0], np.float32)
-                          for j in range(b)])
-        yy = np.asarray([ds[done + j][1] for j in range(b)], np.int32)
+        items = [ds[done + j] for j in range(b)]   # ONE __getitem__ (and
+        #                                            hence one decode) each
+        reals = np.stack([np.asarray(c, np.float32) for c, _ in items])
+        yy = np.asarray([lbl for _, lbl in items], np.int32)
         real_feats.append(extractor(reals))
         if frame_extractor is not None:
             real_frame_feats.append(frame_extractor(reals))

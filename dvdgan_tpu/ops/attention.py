@@ -22,8 +22,6 @@ on top only where profiling says it wins.
 
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
 
@@ -35,7 +33,8 @@ from dvdgan_tpu.ops import layers
 #   "einsum" — einsum directly on the 5-D layout; XLA chooses the movement
 # MEASURED (v5e flagship scan-bench, 2026-08-17): einsum 24.39/24.20/24.44
 # vs fold 24.34/24.39/24.41 steps/s — neutral; "fold" stays the default.
-_TEMPORAL_MODE = os.environ.get("DVDGAN_TEMPORAL_ATTN", "fold")
+_TEMPORAL_MODE = layers.env_choice("DVDGAN_TEMPORAL_ATTN", "fold",
+                                   ("fold", "einsum"))
 
 # Global default for the fused-Pallas spatial pass (auto mode only);
 # per-call `use_pallas` always wins. MEASURED (v5e, 2026-08-16):

@@ -38,7 +38,19 @@ Params = dict
 # moveaxis emits 6-D transpose copies, stack emits strided slices).
 # MEASURED (v5e flagship scan-bench, 3 runs each, 2026-08-17):
 # stack 24.96/25.02/25.01 vs moveaxis 24.34/24.39/24.41 steps/s (+2.5%).
-_TPHASE_INTERLEAVE = os.environ.get("DVDGAN_TPHASE_INTERLEAVE", "stack")
+def env_choice(var: str, default: str, allowed: tuple) -> str:
+    """Read an A/B env knob, REFUSING unknown values at import — a typo'd
+    value would otherwise silently select whichever lowering the string
+    comparisons fall through to (the class of bug the round-2 fake_gen
+    typo-path fix addressed)."""
+    v = os.environ.get(var, default)
+    if v not in allowed:
+        raise ValueError(f"{var}={v!r}: must be one of {allowed}")
+    return v
+
+
+_TPHASE_INTERLEAVE = env_choice("DVDGAN_TPHASE_INTERLEAVE", "stack",
+                                ("stack", "moveaxis"))
 
 
 # ---------------------------------------------------------------- linear ----

@@ -134,7 +134,7 @@ class Trainer:
                 img_size=c.img_size, n_classes=c.n_classes, seed=c.seed)
         if c.dataset == "frames":
             ds = FrameFolderDataset(c.data_path, c.n_frames, c.img_size,
-                                    seed=c.seed)
+                                    seed=c.seed, npy_range=c.npy_range)
             if ds.n_classes != c.n_classes:
                 raise ValueError(
                     f"--n_classes {c.n_classes} != {ds.n_classes} classes "

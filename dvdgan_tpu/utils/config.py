@@ -37,6 +37,9 @@ class Config:
     # data
     dataset: str = "synthetic"        # synthetic | frames
     data_path: str = ""
+    npy_range: str = "auto"           # float-.npy value convention:
+    #                                   auto | unit ([0,1]) | symmetric
+    #                                   ([-1,1]); per-dataset, not per-file
     n_classes: int = 101
     # model
     img_size: int = 64

@@ -314,3 +314,43 @@ def test_frechet_requires_two_rows():
     from dvdgan_tpu.eval import frechet
     with pytest.raises(ValueError, match=">= 2"):
         frechet.statistics(np.ones((1, 4)))
+
+
+def test_la_image_decode_drops_alpha(tmp_path):
+    """A 2-channel LA-mode image must decode as ONE frame with alpha
+    dropped — not be misread as an H-frame grayscale 'video' of width 2
+    (review finding)."""
+    pytest.importorskip("imageio")
+    from PIL import Image
+
+    p = str(tmp_path / "la.png")
+    la = np.zeros((8, 6, 2), np.uint8)
+    la[..., 0] = (np.arange(6, dtype=np.uint8) * 40)[None, :]  # ramp
+    la[..., 1] = 255
+    Image.fromarray(la, "LA").save(p)
+    arr = frames._READ_VIDEO(p)
+    assert arr.shape == (1, 8, 6, 3), arr.shape
+    assert np.array_equal(arr[0, ..., 0], la[..., 0])
+
+
+def test_npy_range_explicit_convention(tmp_path):
+    """Float .npy value convention is a DATASET property: auto-detection
+    misreads an all-non-negative [-1,1] clip as [0,1]; npy_range pins it
+    (review finding)."""
+    clip = np.full((4, 8, 8, 3), 0.5, np.float32)   # ambiguous range
+    root = tmp_path / "d" / "cls"
+    root.mkdir(parents=True)
+    np.save(str(root / "v.npy"), clip)
+    path = str(root / "v.npy")
+    auto = frames._load_frames_u8(path)
+    unit = frames._load_frames_u8(path, "unit")
+    sym = frames._load_frames_u8(path, "symmetric")
+    assert auto[0, 0, 0, 0] == unit[0, 0, 0, 0] == 128   # 0.5 -> 128
+    assert sym[0, 0, 0, 0] == 191                        # (0.5+1)/2 -> 191
+    ds = frames.FrameFolderDataset(str(tmp_path / "d"), 2, 8,
+                                   npy_range="symmetric")
+    c, _ = ds[0]
+    assert c.shape == (2, 8, 8, 3)
+    with pytest.raises(ValueError, match="npy_range"):
+        frames.FrameFolderDataset(str(tmp_path / "d"), 2, 8,
+                                  npy_range="sym")

@@ -167,3 +167,36 @@ def test_c3d_classifier_probs_and_windowing():
         p = cp(v)
         assert p.shape == (1, 101) and np.isfinite(p).all()
         np.testing.assert_allclose(p.sum(axis=-1), 1.0, rtol=1e-12)
+
+
+def test_eval_single_decode_per_clip(tmp_path):
+    """evaluate_generator fetches each dataset item exactly ONCE — decode
+    is the host bottleneck at 256px/48f and a review pass found ds[i]
+    indexed twice per clip (clip + label as separate __getitem__ calls)."""
+    import collections
+
+    from dvdgan_tpu.eval import evaluate_generator
+    from dvdgan_tpu.train.trainer import Trainer
+    from dvdgan_tpu.utils.config import Config
+
+    cfg = Config(dataset="synthetic", n_classes=3, img_size=32, n_frames=4,
+                 ch=8, d_ch=8, k_frames=2, batch_size=2, d_steps=1,
+                 total_step=0, bf16=False, out_dir=str(tmp_path / "run"))
+    tr = Trainer(cfg)
+    calls = collections.Counter()
+    inner = tr.dataset
+
+    class Counting:
+        def __len__(self):
+            return len(inner)
+
+        def __getitem__(self, i):
+            calls[i] += 1
+            return inner[i]
+
+    tr.dataset = Counting()
+    fx = I3DLikeFeatures(seed=0, widths=(8, 16))
+    out = evaluate_generator(tr, fx, n_samples=6, batch_size=3)
+    tr.close()
+    assert np.isfinite(out["fvd"])
+    assert len(calls) == 6 and all(v == 1 for v in calls.values())

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dvdgan_tpu.core import init as winit
 from dvdgan_tpu.ops import (attention, convgru, layers, losses, norm,
@@ -530,3 +531,20 @@ def test_temporal_attention_modes_agree():
                                            rtol=1e-5, atol=1e-5)
     finally:
         attention._TEMPORAL_MODE = prev
+
+
+def test_env_choice_rejects_typos(monkeypatch):
+    """A/B env knobs must refuse unknown values instead of silently
+    falling through to one lowering (review finding)."""
+    from dvdgan_tpu.ops import layers
+
+    monkeypatch.setenv("DVDGAN_KNOB_TEST", "stacked")
+    with pytest.raises(ValueError, match="DVDGAN_KNOB_TEST"):
+        layers.env_choice("DVDGAN_KNOB_TEST", "stack",
+                          ("stack", "moveaxis"))
+    monkeypatch.setenv("DVDGAN_KNOB_TEST", "moveaxis")
+    assert layers.env_choice("DVDGAN_KNOB_TEST", "stack",
+                             ("stack", "moveaxis")) == "moveaxis"
+    monkeypatch.delenv("DVDGAN_KNOB_TEST")
+    assert layers.env_choice("DVDGAN_KNOB_TEST", "stack",
+                             ("stack", "moveaxis")) == "stack"

@@ -10,7 +10,6 @@ Usage: python tools/profile_step.py [out_dir]
 from __future__ import annotations
 
 import collections
-import functools
 import glob
 import gzip
 import json
@@ -18,60 +17,22 @@ import os
 import re
 import sys
 
-import os
-import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+from tools import _bench_common as bc
 
 STEPS = 6
 
 
-# Profiled config: flagship by default; override via env for other presets,
-# e.g. DVDGAN_PROFILE="img_size=128,n_frames=12,ch=32,batch=8,remat=1".
-_OVERRIDES = dict(
-    kv.split("=") for kv in os.environ.get("DVDGAN_PROFILE", "").split(",")
-    if "=" in kv)
-
-
-def _ov(name: str, default: int) -> int:
-    return int(_OVERRIDES.get(name, default))
-
-
 def build_and_run(trace_dir: str) -> None:
-    from dvdgan_tpu.models import DSConfig, DTConfig, GConfig
-    from dvdgan_tpu.train import TrainConfig, create
-    from dvdgan_tpu.train import step as step_mod
+    import jax
 
-    img = _ov("img_size", 64)
-    nf = _ov("n_frames", 16)
-    ch = _ov("ch", 32)
-    batch = _ov("batch", 8)
-    # 256px has 7 latent chunks; 112 divides by 7 (120 does not)
-    g_cfg = GConfig(img_size=img, n_frames=nf, ch=ch,
-                    z_dim=_ov("z_dim", 112 if img == 256 else 120),
-                    n_classes=101, emb_dim=120, attn_res=32,
-                    remat=bool(_ov("remat", 0)))
-    ds_cfg = DSConfig(img_size=img, ch=ch, n_classes=101, k_frames=8)
-    dt_cfg = DTConfig(img_size=img, n_frames=nf, ch=ch, n_classes=101)
-    tc = TrainConfig(d_steps=2, batch_size=batch)
-    with jax.default_device(jax.devices("cpu")[0]):
-        state = create(jax.random.PRNGKey(0), g_cfg, ds_cfg, dt_cfg, tc)
-    state = jax.device_put(state, jax.devices()[0])
-    rng = np.random.RandomState(0)
-    real = jnp.asarray(rng.randn(batch, nf, img, img, 3), jnp.bfloat16)
-    y = jnp.asarray(rng.randint(0, 101, batch), jnp.int32)
-    one = functools.partial(step_mod.train_step, g_cfg=g_cfg, ds_cfg=ds_cfg,
-                            dt_cfg=dt_cfg, tc=tc)
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def multi(state, real, y, key):
-        def body(st, i):
-            st, m = one(st, real, y, jax.random.fold_in(key, i))
-            return st, m["g_loss"]
-        return jax.lax.scan(body, state, jnp.arange(STEPS))
+    # Profiled config: flagship by default; override via env for other
+    # presets, e.g. DVDGAN_PROFILE="img_size=128,n_frames=12,remat=1".
+    g_cfg, ds_cfg, dt_cfg, tc, dims = bc.build_configs(
+        bc.parse_overrides("DVDGAN_PROFILE"))
+    state, real, y = bc.init_state_and_batch(g_cfg, ds_cfg, dt_cfg, tc, dims)
+    multi = bc.make_multi_step(g_cfg, ds_cfg, dt_cfg, tc, STEPS)
 
     state, losses = multi(state, real, y, jax.random.PRNGKey(0))
     float(losses[-1])                     # warm + compile
