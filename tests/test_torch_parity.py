@@ -395,3 +395,122 @@ def test_fp_generator_full_forward():
         theirs = m(to_t(z), torch.from_numpy(y), cond_video=to_t(cond))
     assert ours.shape == (2, 4, 32, 32, 3)
     assert_close(ours, theirs, atol=1e-4, rtol=1e-4)
+
+
+# ------------------------------------------------- gradient parity ----------
+# Forward parity (above) pins the layout contracts; these pin the BACKWARD:
+# the full hinge-loss gradients of the D phase and the G phase, wrt every
+# parameter, must agree between dvdgan_tpu and the torch twin at identical
+# (raw, un-normalized) weights. This exercises every algebraic rewrite's
+# custom VJP path in context: phase-decomposed upsample convs, pooled-skip
+# commutes, hoisted GRU halves, folded-batch CBN batch-stat gradients.
+# SN is deliberately absent here: the two frameworks' σ-gradient wrappers
+# have different update-time contracts (documented in ops/spectral_norm.py)
+# and SN-normalized forwards are covered above.
+
+
+def _torch_d_hinge(r, f):
+    return (torch.relu(1.0 - r).mean() + torch.relu(1.0 + f).mean())
+
+
+def _grads_into_params(mod):
+    """Overwrite every parameter with its gradient (zeros when a parameter
+    got none) so the export_* readers emit the GRADIENT tree in dvdgan_tpu
+    layout/structure."""
+    with torch.no_grad():
+        for p in mod.parameters():
+            p.data = (p.grad.detach().clone() if p.grad is not None
+                      else torch.zeros_like(p.data))
+
+
+def test_gradient_parity_d_loss():
+    import chex
+
+    _, ds_cfg, dt_cfg = _tiny_cfgs()
+    rng = RNG(31)
+    ds_params = discriminator.ds_init(jax.random.PRNGKey(40), ds_cfg)
+    dt_params = discriminator.dt_init(jax.random.PRNGKey(41), dt_cfg)
+    rf = rng.randn(2, ds_cfg.k_frames, 32, 32, 3).astype(np.float32)
+    ff = rng.randn(2, ds_cfg.k_frames, 32, 32, 3).astype(np.float32)
+    rc = rng.randn(2, dt_cfg.n_frames, 32, 32, 3).astype(np.float32)
+    fc = rng.randn(2, dt_cfg.n_frames, 32, 32, 3).astype(np.float32)
+    y = rng.randint(0, ds_cfg.n_classes, 2)
+
+    def loss_j(p):
+        s_r = discriminator.ds_apply(p["ds"], jnp.asarray(rf),
+                                     jnp.asarray(y), ds_cfg)
+        s_f = discriminator.ds_apply(p["ds"], jnp.asarray(ff),
+                                     jnp.asarray(y), ds_cfg)
+        t_r = discriminator.dt_apply(p["dt"], jnp.asarray(rc),
+                                     jnp.asarray(y), dt_cfg)
+        t_f = discriminator.dt_apply(p["dt"], jnp.asarray(fc),
+                                     jnp.asarray(y), dt_cfg)
+        return losses.d_hinge(s_r, s_f) + losses.d_hinge(t_r, t_f)
+
+    lj, gj = jax.value_and_grad(loss_j)({"ds": ds_params, "dt": dt_params})
+
+    mds = tw.SpatialDiscriminator(ds_cfg)
+    tw.load_ds(mds, jax.tree.map(np.asarray, ds_params))
+    mdt = tw.TemporalDiscriminator(dt_cfg)
+    tw.load_dt(mdt, jax.tree.map(np.asarray, dt_params), dt_cfg.n_3d_blocks)
+    ty = torch.from_numpy(y)
+    lt = (_torch_d_hinge(mds(to_t(rf), ty), mds(to_t(ff), ty))
+          + _torch_d_hinge(mdt(to_t(rc), ty), mdt(to_t(fc), ty)))
+    lt.backward()
+    np.testing.assert_allclose(float(lj), float(lt.detach()),
+                               atol=1e-4, rtol=1e-5)
+    _grads_into_params(mds)
+    _grads_into_params(mdt)
+    chex.assert_trees_all_close(
+        jax.tree.map(np.asarray, gj),
+        {"ds": tw.export_ds(mds), "dt": tw.export_dt(mdt)},
+        atol=1e-4, rtol=1e-3)
+
+
+def test_gradient_parity_g_loss():
+    import chex
+
+    from dvdgan_tpu.train.step import take_frames
+
+    g_cfg, ds_cfg, dt_cfg = _tiny_cfgs()
+    rng = RNG(32)
+    params, stats = generator.init(jax.random.PRNGKey(50), g_cfg)
+    params["attn"]["spatial"]["gamma"] = jnp.float32(0.5)
+    params["attn"]["temporal"]["gamma"] = jnp.float32(0.25)
+    ds_params = discriminator.ds_init(jax.random.PRNGKey(51), ds_cfg)
+    dt_params = discriminator.dt_init(jax.random.PRNGKey(52), dt_cfg)
+    z = rng.randn(2, g_cfg.z_dim).astype(np.float32)
+    y = rng.randint(0, g_cfg.n_classes, 2)
+    idx = np.stack([rng.permutation(g_cfg.n_frames)[:ds_cfg.k_frames]
+                    for _ in range(2)]).astype(np.int32)
+
+    def loss_j(gp):
+        fake, _ = generator.apply(gp, stats, jnp.asarray(z), jnp.asarray(y),
+                                  g_cfg, train=True)
+        s = discriminator.ds_apply(ds_params,
+                                   take_frames(fake, jnp.asarray(idx)),
+                                   jnp.asarray(y), ds_cfg)
+        t = discriminator.dt_apply(dt_params, fake, jnp.asarray(y), dt_cfg)
+        return losses.g_hinge(s) + losses.g_hinge(t)
+
+    lj, gj = jax.value_and_grad(loss_j)(params)
+
+    mg = tw.Generator(g_cfg)
+    tw.load_generator(mg, jax.tree.map(np.asarray, params),
+                      jax.tree.map(np.asarray, stats))
+    mg.train(True)
+    mds = tw.SpatialDiscriminator(ds_cfg)
+    tw.load_ds(mds, jax.tree.map(np.asarray, ds_params))
+    mdt = tw.TemporalDiscriminator(dt_cfg)
+    tw.load_dt(mdt, jax.tree.map(np.asarray, dt_params), dt_cfg.n_3d_blocks)
+    ty = torch.from_numpy(y)
+    fake_t = mg(to_t(z), ty)
+    frames_t = fake_t[torch.arange(2)[:, None], torch.from_numpy(idx)]
+    lt = -mds(frames_t, ty).mean() - mdt(fake_t, ty).mean()
+    lt.backward()
+    np.testing.assert_allclose(float(lj), float(lt.detach()),
+                               atol=1e-4, rtol=1e-5)
+    _grads_into_params(mg)
+    gt, _ = tw.export_generator(mg)
+    chex.assert_trees_all_close(jax.tree.map(np.asarray, gj), gt,
+                                atol=1e-4, rtol=1e-3)
