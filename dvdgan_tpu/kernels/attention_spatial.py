@@ -27,6 +27,29 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Same conservative per-block budget philosophy as the GRU kernels (see
+# convgru_cell._VMEM_LIMIT_BYTES: Mosaic's scoped estimate undercounts ~2×
+# once the grid pipelines). The known-good 32×32 c=64 frame holds ~2.3 MB
+# here; a 64×64 frame needs 32 MB of f32 logits+attn alone and can NEVER
+# fit un-tiled — maps beyond ~48² need a tiled (flash-style) kernel, not
+# this one.
+_VMEM_LIMIT_BYTES = 4 * 1024 * 1024
+
+
+def fits_vmem(h: int, w: int, c: int, itemsize: int = 2,
+              c8: int | None = None, c2: int | None = None) -> bool:
+    """True when one frame's whole attention block fits the VMEM budget.
+    ops/attention.py's auto-gate must check this — without it, larger
+    attention maps compile an over-budget kernel and die in an opaque
+    Mosaic OOM (HTTP 500 through the remote-compile tunnel)."""
+    hw, kvn = h * w, (h // 2) * (w // 2)
+    c8 = c8 if c8 is not None else max(c // 8, 1)
+    c2 = c2 if c2 is not None else max(c // 2, 1)
+    logits = 2 * hw * kvn * 4                      # f32 logits + attn
+    toks = (2 * hw * c + kvn * c) * itemsize       # x, out, pooled kv
+    qkv = (hw * c8 + kvn * (c8 + c2) + hw * c2) * 4
+    return logits + toks + qkv < _VMEM_LIMIT_BYTES
+
 
 def _attn_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, gamma_ref, out_ref):
     _, h, w, c = x_ref.shape

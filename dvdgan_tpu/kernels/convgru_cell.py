@@ -56,30 +56,43 @@ def _conv3x3_from_padded(hp: jax.Array, w: jax.Array, b: int, h: int,
     return acc
 
 
-def _gru_cell_kernel(gx_ref, cx_ref, h_ref, wg_ref, wc_ref, out_ref,
-                     hp_ref, rhp_ref):
-    b, h, w, c = h_ref.shape
+def kernel_gru_step(h_block, gx_block, cx_block, wg, wc,
+                    hp_ref, rhp_ref) -> jax.Array:
+    """ONE GRU step on in-VMEM values — the shared kernel-body math for the
+    per-step cell kernel AND the whole-sequence kernel (f32 gates, two
+    3×3 convs as shifted matmuls using the caller's padded scratch refs).
+    h_block/cx_block: (B, H, W, C); gx_block: (B, H, W, 2C) ->
+    (B, H, W, C) in h_block's dtype. A change here changes BOTH kernels;
+    their VJPs recompute with recompute_cell/_seq_bwd_scan — keep the
+    forward math in sync with those (oracle tests enforce it)."""
+    b, h, w, c = h_block.shape
 
     # zero-padded hidden state in VMEM scratch (SAME-conv halo)
     hp_ref[:] = jnp.zeros_like(hp_ref)
-    hp_ref[:, 1:h + 1, 1:w + 1, :] = h_ref[:]
+    hp_ref[:, 1:h + 1, 1:w + 1, :] = h_block
 
-    gh = _conv3x3_from_padded(hp_ref[:], wg_ref[:], b, h, w)   # (BHW, 2C) f32
-    gx = gx_ref[:].reshape(b * h * w, 2 * c).astype(jnp.float32)
+    gh = _conv3x3_from_padded(hp_ref[:], wg, b, h, w)          # (BHW, 2C) f32
+    gx = gx_block.reshape(b * h * w, 2 * c).astype(jnp.float32)
     rz = jax.nn.sigmoid(gx + gh)
     r, z = rz[:, :c], rz[:, c:]
 
-    hflat = h_ref[:].reshape(b * h * w, c).astype(jnp.float32)
-    rh = (r * hflat).astype(h_ref.dtype).reshape(b, h, w, c)
+    hflat = h_block.reshape(b * h * w, c).astype(jnp.float32)
+    rh = (r * hflat).astype(h_block.dtype).reshape(b, h, w, c)
     rhp_ref[:] = jnp.zeros_like(rhp_ref)
     rhp_ref[:, 1:h + 1, 1:w + 1, :] = rh
 
-    ch = _conv3x3_from_padded(rhp_ref[:], wc_ref[:], b, h, w)  # (BHW, C) f32
-    cx = cx_ref[:].reshape(b * h * w, c).astype(jnp.float32)
+    ch = _conv3x3_from_padded(rhp_ref[:], wc, b, h, w)         # (BHW, C) f32
+    cx = cx_block.reshape(b * h * w, c).astype(jnp.float32)
     cand = jnp.tanh(cx + ch)
 
     out = (1.0 - z) * hflat + z * cand
-    out_ref[:] = out.astype(out_ref.dtype).reshape(b, h, w, c)
+    return out.astype(h_block.dtype).reshape(b, h, w, c)
+
+
+def _gru_cell_kernel(gx_ref, cx_ref, h_ref, wg_ref, wc_ref, out_ref,
+                     hp_ref, rhp_ref):
+    out_ref[:] = kernel_gru_step(h_ref[:], gx_ref[:], cx_ref[:],
+                                 wg_ref[:], wc_ref[:], hp_ref, rhp_ref)
 
 
 def _batch_block(b: int, h: int, w: int, c: int, itemsize: int) -> int:
@@ -125,27 +138,42 @@ def _cell_pallas(gx: jax.Array, cx: jax.Array, h: jax.Array,
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * b * hh * ww * c * 3 * c,
             bytes_accessed=(gx.size + cx.size + 2 * h.size) * h.dtype.itemsize
-            + (wg.size + wc.size) * 2 + 2 * grid[0] * pad_bytes,
+            + (wg.size + wc.size) * wg.dtype.itemsize
+            + 2 * grid[0] * pad_bytes,
             transcendentals=3 * b * hh * ww * c,
         ),
         interpret=interpret,
     )(gx, cx, h, wg, wc)
 
 
-def _cell_reference(gx, cx, h, wg, wc):
-    """Plain-JAX GRU step from hoisted inputs — the backward-pass math and
-    the numerics oracle for the kernel tests."""
+def reference_cell(h, gx, cx, wg, wc, f32_gates: bool = True):
+    """Plain-JAX GRU step from hoisted inputs — THE single reference cell
+    shared by the oracles and the VJP recomputes of both the per-step and
+    whole-sequence kernels (the math used to be hand-copied five times
+    across this package; one copy prevents forward/backward drift).
+
+    f32_gates=True matches the kernels' in-VMEM f32 gate math (the
+    numerics oracle); f32_gates=False keeps gates in the activation dtype
+    — the backward-recompute variant (under jax.vjp every f32 intermediate
+    would materialize in HBM; measured ~5 ms/step of add+convert fusions).
+    """
     dn = ("NHWC", "HWIO", "NHWC")
     gh = jax.lax.conv_general_dilated(h, wg.astype(h.dtype), (1, 1), "SAME",
                                       dimension_numbers=dn)
-    rz = jax.nn.sigmoid((gx + gh).astype(jnp.float32))
+    up = jnp.float32 if f32_gates else h.dtype
+    rz = jax.nn.sigmoid((gx + gh).astype(up))
     r, z = jnp.split(rz, 2, axis=-1)
     rh = r.astype(h.dtype) * h
     ch = jax.lax.conv_general_dilated(rh, wc.astype(h.dtype), (1, 1), "SAME",
                                       dimension_numbers=dn)
-    cand = jnp.tanh((cx + ch).astype(jnp.float32))
-    out = (1.0 - z) * h.astype(jnp.float32) + z * cand
+    cand = jnp.tanh((cx + ch).astype(up))
+    out = (1.0 - z) * h.astype(up) + z * cand
     return out.astype(h.dtype)
+
+
+def _cell_reference(gx, cx, h, wg, wc):
+    """Numerics oracle for the cell kernel tests (f32 gates)."""
+    return reference_cell(h, gx, cx, wg, wc, f32_gates=True)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -161,25 +189,11 @@ def _fwd(gx, cx, h, wg, wc, interpret):
 
 
 def _cell_recompute_bwd(gx, cx, h, wg, wc):
-    """Backward-only recompute: identical math to _cell_reference but the
-    gate tensors stay in the ACTIVATION dtype. The forward's f32 gate math
-    lives inside the Pallas kernel (VMEM, free); this recompute runs under
-    jax.vjp where every f32 intermediate is materialized in HBM — measured
-    ~5 ms/step of f32 add+convert fusions. bf16 gradients through
-    range-bounded sigmoid/tanh are standard mixed-precision practice; the
-    f32 master-weight update path is unchanged."""
-    dn = ("NHWC", "HWIO", "NHWC")
-    gh = jax.lax.conv_general_dilated(h, wg.astype(h.dtype), (1, 1), "SAME",
-                                      dimension_numbers=dn)
-    rz = jax.nn.sigmoid(gx + gh)
-    r, z = jnp.split(rz, 2, axis=-1)
-    rh = r * h
-    ch = jax.lax.conv_general_dilated(rh, wc.astype(h.dtype), (1, 1), "SAME",
-                                      dimension_numbers=dn)
-    cand = jnp.tanh(cx + ch)
-    one = jnp.ones((), h.dtype)
-    out = (one - z) * h + z * cand
-    return out.astype(h.dtype)
+    """Backward-only recompute: identical math to the oracle but gates stay
+    in the ACTIVATION dtype (see reference_cell's f32_gates note). bf16
+    gradients through range-bounded sigmoid/tanh are standard mixed-
+    precision practice; the f32 master-weight update path is unchanged."""
+    return reference_cell(h, gx, cx, wg, wc, f32_gates=False)
 
 
 def _bwd(interpret, res, g):

@@ -28,39 +28,52 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dvdgan_tpu.kernels.convgru_cell import (_batch_block,
-                                             _conv3x3_from_padded)
+from dvdgan_tpu.kernels import convgru_cell as _cell
+from dvdgan_tpu.kernels.convgru_cell import kernel_gru_step, reference_cell
 
 
 def _gru_seq_kernel(h0_ref, gx_ref, cx_ref, wg_ref, wc_ref, out_ref,
                     hcar_ref, hp_ref, rhp_ref):
     t = pl.program_id(1)
-    bb, h, w, c = h0_ref.shape
 
     @pl.when(t == 0)
     def _():
         hcar_ref[:] = h0_ref[:]
 
-    # one GRU step from the carried state (same math as the cell kernel)
-    hp_ref[:] = jnp.zeros_like(hp_ref)
-    hp_ref[:, 1:h + 1, 1:w + 1, :] = hcar_ref[:]
-    gh = _conv3x3_from_padded(hp_ref[:], wg_ref[:], bb, h, w)
-    gx = gx_ref[0].reshape(bb * h * w, 2 * c).astype(jnp.float32)
-    rz = jax.nn.sigmoid(gx + gh)
-    r, z = rz[:, :c], rz[:, c:]
-
-    hflat = hcar_ref[:].reshape(bb * h * w, c).astype(jnp.float32)
-    rh = (r * hflat).astype(hcar_ref.dtype).reshape(bb, h, w, c)
-    rhp_ref[:] = jnp.zeros_like(rhp_ref)
-    rhp_ref[:, 1:h + 1, 1:w + 1, :] = rh
-    ch = _conv3x3_from_padded(rhp_ref[:], wc_ref[:], bb, h, w)
-    cx = cx_ref[0].reshape(bb * h * w, c).astype(jnp.float32)
-    cand = jnp.tanh(cx + ch)
-
-    out = (1.0 - z) * hflat + z * cand
-    h_new = out.astype(hcar_ref.dtype).reshape(bb, h, w, c)
+    # one GRU step from the carried state (the SHARED kernel-body math —
+    # convgru_cell.kernel_gru_step — so the per-step and whole-sequence
+    # kernels cannot drift)
+    h_new = kernel_gru_step(hcar_ref[:], gx_ref[0], cx_ref[0],
+                            wg_ref[:], wc_ref[:], hp_ref, rhp_ref)
     hcar_ref[:] = h_new
     out_ref[0] = h_new
+
+
+def _seq_batch_block(b: int, h: int, w: int, c: int, itemsize: int) -> int:
+    """Largest divisor of b whose SEQUENCE-kernel working set fits the VMEM
+    budget; 0 when even one sample does not fit (callers must fall back —
+    the forward previously borrowed the cell kernel's estimate, whose
+    working set is strictly smaller: no carry scratch and no pipelined
+    time-window double-buffering; review finding, mirrors the backward's
+    ADVICE-r1 fix)."""
+    for bb in range(b, 0, -1):
+        if b % bb:
+            continue
+        gates = 3 * bb * h * w * 2 * c * 4          # f32 gate intermediates
+        pads = 2 * bb * (h + 2) * (w + 2) * c * itemsize
+        carry = bb * h * w * c * itemsize
+        # gx(2C)+cx(C) in, h(C) out, double-buffered by the grid pipeline,
+        # + the h0 block
+        io = (2 * 4 + 1) * bb * h * w * c * itemsize
+        if gates + pads + carry + io < _cell._VMEM_LIMIT_BYTES:
+            return bb
+    return 0
+
+
+def fits_vmem(b: int, h: int, w: int, c: int, itemsize: int = 2) -> bool:
+    """True when the whole-sequence forward kernel can run at this shape;
+    ops/convgru.py's auto-gate uses this."""
+    return _seq_batch_block(b, h, w, c, itemsize) > 0
 
 
 def _seq_pallas(gx: jax.Array, cx: jax.Array, h0: jax.Array,
@@ -68,7 +81,12 @@ def _seq_pallas(gx: jax.Array, cx: jax.Array, h0: jax.Array,
                 interpret: bool = False) -> jax.Array:
     t, b, hh, ww, c2 = gx.shape
     c = c2 // 2
-    bb = _batch_block(b, hh, ww, c, h0.dtype.itemsize)
+    bb = _seq_batch_block(b, hh, ww, c, h0.dtype.itemsize)
+    if bb == 0:
+        raise ValueError(
+            f"convgru sequence-kernel working set does not fit VMEM at "
+            f"({b},{hh},{ww},{c}) — gate with convgru_seq.fits_vmem and "
+            f"use the scan path")
     grid = (b // bb, t)   # batch-blocks outer, time inner: the carry
     #                       resets at t==0 of each batch block
 
@@ -94,7 +112,8 @@ def _seq_pallas(gx: jax.Array, cx: jax.Array, h0: jax.Array,
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * 9 * t * b * hh * ww * c * 3 * c,
-            bytes_accessed=(gx.size + cx.size) * gx.dtype.itemsize
+            bytes_accessed=(gx.size + cx.size + h0.size) * gx.dtype.itemsize
+            + (wg.size + wc.size) * wg.dtype.itemsize
             + 2 * t * b * hh * ww * c * h0.dtype.itemsize,
             transcendentals=3 * t * b * hh * ww * c,
         ),
@@ -103,21 +122,12 @@ def _seq_pallas(gx: jax.Array, cx: jax.Array, h0: jax.Array,
 
 
 def _seq_reference(gx, cx, h0, wg, wc):
-    """Plain-JAX oracle: scan of the activation-dtype cell math."""
-    dn = ("NHWC", "HWIO", "NHWC")
+    """Plain-JAX oracle: scan of the shared reference cell (f32 gates,
+    matching the kernel's in-VMEM gate math)."""
 
     def cell(h, inputs):
         gx_t, cx_t = inputs
-        gh = jax.lax.conv_general_dilated(h, wg.astype(h.dtype), (1, 1),
-                                          "SAME", dimension_numbers=dn)
-        rz = jax.nn.sigmoid((gx_t + gh).astype(jnp.float32))
-        r, z = jnp.split(rz, 2, axis=-1)
-        rh = r.astype(h.dtype) * h
-        ch = jax.lax.conv_general_dilated(rh, wc.astype(h.dtype), (1, 1),
-                                          "SAME", dimension_numbers=dn)
-        cand = jnp.tanh((cx_t + ch).astype(jnp.float32))
-        out = (1.0 - z) * h.astype(jnp.float32) + z * cand
-        h_new = out.astype(h.dtype)
+        h_new = reference_cell(h, gx_t, cx_t, wg, wc, f32_gates=True)
         return h_new, h_new
 
     _, hs = jax.lax.scan(cell, h0, (gx, cx))
@@ -127,27 +137,16 @@ def _seq_reference(gx, cx, h0, wg, wc):
 def _seq_bwd_scan(gx, cx, h0, wg, wc, hs, g):
     """Reverse-time BPTT using the SAVED hidden sequence (no forward
     re-run): per step recompute only the gates from h_{t-1}, in the
-    activation dtype; weight grads accumulate f32."""
-    dn = ("NHWC", "HWIO", "NHWC")
-    t = gx.shape[0]
+    activation dtype (reference_cell f32_gates=False — the same shared
+    recompute the cell kernel's VJP uses); weight grads accumulate f32."""
     h_prev_seq = jnp.concatenate([h0[None], hs[:-1]], axis=0)
 
     def step_bwd(carry, inputs):
         dh_next, dwg, dwc = carry
         gx_t, cx_t, h_prev, g_t = inputs
-        dtype = h_prev.dtype
 
         def cell_t(h, gx_t, cx_t, wg, wc):
-            gh = jax.lax.conv_general_dilated(
-                h, wg.astype(dtype), (1, 1), "SAME", dimension_numbers=dn)
-            rz = jax.nn.sigmoid(gx_t + gh)
-            r, z = jnp.split(rz, 2, axis=-1)
-            rh = r * h
-            ch = jax.lax.conv_general_dilated(
-                rh, wc.astype(dtype), (1, 1), "SAME", dimension_numbers=dn)
-            cand = jnp.tanh(cx_t + ch)
-            one = jnp.ones((), dtype)
-            return ((one - z) * h + z * cand).astype(dtype)
+            return reference_cell(h, gx_t, cx_t, wg, wc, f32_gates=False)
 
         _, vjp = jax.vjp(cell_t, h_prev, gx_t, cx_t, wg, wc)
         dh, dgx_t, dcx_t, dwg_t, dwc_t = vjp(g_t + dh_next)

@@ -46,9 +46,11 @@ _TEMPORAL_MODE = layers.env_choice("DVDGAN_TEMPORAL_ATTN", "fold",
 #     opaque fusion boundary: XLA can fuse the attention einsums into the
 #     surrounding GResBlock producers/consumers, which outweighs the
 #     kernel's internal fusion at this size.
-# Default follows the in-context number (SURVEY §7.7 keep-whichever-wins);
-# the kernel remains the right choice for larger maps (128²+ tokens) where
-# the logits tensor dominates — re-measure there before flipping.
+# Default follows the in-context number (SURVEY §7.7 keep-whichever-wins).
+# NOTE the un-tiled kernel holds the full f32 logits+attn per frame, so it
+# only FITS up to ~48² maps (kernels/attention_spatial.fits_vmem gates the
+# auto path); beyond that a tiled flash-style variant would be needed —
+# 128²+ "larger maps" are NOT a use case for this kernel as written.
 # RE-MEASURED 2026-08-17 after the round-2 perf work (one-D-forward,
 # phase-decomposed upsamples, pooled skips): still loses in context,
 # 22.62/22.65 ON vs 24.10 OFF steps/s — the fusion-boundary cost holds.
@@ -106,13 +108,17 @@ def separable_attn(p: dict, x: jax.Array, use_pallas: bool | None = None,
         b, t, h, w, c = x.shape
     n = b * t
     pool_ok = h % 2 == 0 and w % 2 == 0
+    sp = p["spatial"]
     if use_pallas is None:
         use_pallas = (PALLAS_ENABLED and pool_ok
-                      and jax.default_backend() not in ("cpu",))
+                      and jax.default_backend() not in ("cpu",)
+                      and kernels.attention_spatial.fits_vmem(
+                          h, w, c, x.dtype.itemsize,
+                          c8=sp["theta"]["w"].shape[-1],
+                          c2=sp["g"]["w"].shape[-1]))
 
     # --- spatial: tokens over HW, batch = fold(time, batch) ------------------
     if use_pallas:
-        sp = p["spatial"]
         xf = kernels.spatial_attn_fused(
             x.reshape(n, h, w, c), sp["theta"]["w"], sp["phi"]["w"],
             sp["g"]["w"], sp["out"]["w"], sp["gamma"])

@@ -90,10 +90,15 @@ def convgru(p: dict, x_seq: jax.Array, h0: jax.Array | None = None,
     per level that batch-major input needs (scan consumes/produces leading-
     axis time natively).
 
-    `use_pallas` selects the fused single-kernel GRU step
-    (kernels/convgru_cell.py) for the scan body: None (default) auto-enables
-    it on TPU backends when the state fits VMEM; the plain-XLA path is used
-    otherwise (and on CPU, where the kernel would run interpreted).
+    `use_pallas` selects the WHOLE-SEQUENCE fused kernel
+    (kernels/convgru_seq.py — one pallas_call for the entire unroll, the
+    recurrence carried in VMEM scratch; there is no scan on this path):
+    None (default) auto-enables it on TPU backends when the sequence
+    kernel's own working set fits VMEM; the plain-XLA scan is used
+    otherwise (and on CPU, where the kernel would run interpreted). The
+    per-step cell kernel (kernels/convgru_cell.py) shares its in-kernel
+    math with the sequence kernel and remains as the tested single-step
+    building block.
 
     `x_static=True` asserts all T input frames are IDENTICAL (the
     generator's level-0 input is the latent seed broadcast over time): the
@@ -140,8 +145,10 @@ def convgru(p: dict, x_seq: jax.Array, h0: jax.Array | None = None,
         use_pallas = (PALLAS_ENABLED
                       and jax.default_backend() not in ("cpu",)
                       and x_seq.dtype == jnp.bfloat16
-                      and kernels.fits_vmem(b, h, w, c,
-                                            x_seq.dtype.itemsize))
+                      # the SEQUENCE kernel's own estimate (carry scratch +
+                      # pipelined time windows), not the smaller cell one
+                      and kernels.convgru_seq.fits_vmem(
+                          b, h, w, c, x_seq.dtype.itemsize))
 
     if use_pallas:
         # ONE kernel for the whole unroll: grid over (batch-blocks, T) with

@@ -266,3 +266,79 @@ def test_bwd_selection_falls_back_when_unfit(monkeypatch):
     g = jnp.ones_like(hs)
     kseq._bwd(False, (*args, hs), g)
     assert called.get("scan")
+
+
+def _seq_ws(bb, h, w, c, itemsize):
+    """Mirror of _seq_batch_block's per-block working-set formula."""
+    gates = 3 * bb * h * w * 2 * c * 4
+    pads = 2 * bb * (h + 2) * (w + 2) * c * itemsize
+    carry = bb * h * w * c * itemsize
+    io = 9 * bb * h * w * c * itemsize
+    return gates + pads + carry + io
+
+
+def test_seq_kernel_multi_batch_block_grid(monkeypatch):
+    """Force grid=(2, T) — a batch-block SMALLER than the batch — and check
+    the carry-reset predicate at t==0 of the second batch block. Production
+    shapes exercise this path but every default-budget test ran at
+    grid=(1, T) (review finding)."""
+    args = _rand_seq_inputs(jax.random.PRNGKey(9), t=3, b=2, h=4, w=4, c=8)
+    itemsize = args[2].dtype.itemsize
+    monkeypatch.setattr(kc, "_VMEM_LIMIT_BYTES",
+                        _seq_ws(1, 4, 4, 8, itemsize) + 1)
+    assert kseq._seq_batch_block(2, 4, 4, 8, itemsize) == 1
+    hs = kseq.gru_sequence_fused(*args, True)
+    ref = kseq._seq_reference(*args)
+    assert np.allclose(np.asarray(hs), np.asarray(ref), atol=1e-5)
+
+
+def test_seq_kernel_refuses_unfit_shape(monkeypatch):
+    """When even a single sample overflows the budget, _seq_pallas raises
+    (the caller gates with convgru_seq.fits_vmem) instead of compiling an
+    over-budget kernel that would OOM Mosaic opaquely."""
+    import pytest
+
+    args = _rand_seq_inputs(jax.random.PRNGKey(10), t=2, b=2, h=4, w=4, c=8)
+    monkeypatch.setattr(kc, "_VMEM_LIMIT_BYTES", 1)
+    assert not kseq.fits_vmem(2, 4, 4, 8, 4)
+    with pytest.raises(ValueError, match="does not fit"):
+        kseq.gru_sequence_fused(*args, True)
+
+
+def _bwd_ws(bb, h, w, c, itemsize):
+    """Mirror of _bwd_batch_block's per-block working-set formula."""
+    n = bb * h * w
+    f32 = 4 * n * (4 * 2 * c + 14 * c)
+    pads = 5 * bb * (h + 2) * (w + 2) * c * itemsize
+    carry = n * c * itemsize
+    io = 10 * n * c * itemsize
+    return f32 + pads + carry + io
+
+
+def test_bwd_kernel_multi_batch_block_grid(monkeypatch):
+    """Same for the reverse-time BPTT kernel: grid=(2, T) with the dh carry
+    reset at j==0 per batch block, and the dh0 last-write-wins output."""
+    args = _rand_seq_inputs(jax.random.PRNGKey(11), t=3, b=2, h=4, w=4, c=8)
+    gx, cx, h0, wg, wc = args
+    hs = kseq._seq_reference(*args)
+    g = jax.random.normal(jax.random.PRNGKey(12), hs.shape)
+    itemsize = h0.dtype.itemsize
+    monkeypatch.setattr(kbwd, "_BWD_VMEM_LIMIT_BYTES",
+                        _bwd_ws(1, 4, 4, 8, itemsize) + 1)
+    assert kbwd._bwd_batch_block(2, 4, 4, 8, itemsize) == 1
+    _, vjp = jax.vjp(kseq._seq_reference, *args)
+    want = vjp(g)
+    got = kbwd.gru_sequence_bwd(gx, cx, h0, wg, wc, hs, g, interpret=True)
+    for a, b in zip(got, want):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_attention_kernel_vmem_gate():
+    """The spatial-attention kernel holds the full f32 logits+attn per
+    frame: the 32×32 production map fits, 64×64 can never (32 MB of logits
+    alone) — the ops/attention auto-path gates on this (review finding)."""
+    from dvdgan_tpu.kernels import attention_spatial as ka
+
+    assert ka.fits_vmem(32, 32, 64, 2)
+    assert not ka.fits_vmem(64, 64, 64, 2)
+    assert not ka.fits_vmem(128, 128, 64, 2)
