@@ -91,7 +91,7 @@ def dt_init(key: jax.Array, cfg: DTConfig) -> dict:
 
 
 def dt_apply(params: dict, clip: jax.Array, y: jax.Array,
-             cfg: DTConfig) -> jax.Array:
+             cfg: DTConfig, pooled: bool = False) -> jax.Array:
     """clip: (B, T, H, W, 3) at FULL resolution; y: (B,) -> (B,).
 
     The paper's φ (spatial 2× mean pool) happens here, inside DT, so
@@ -100,10 +100,16 @@ def dt_apply(params: dict, clip: jax.Array, y: jax.Array,
     for MXU lane fill — was tried and MEASURED SLOWER on v5e: 22.2 vs
     23.2 steps/s flagship; the transpose shuffle + a second full-res
     skip pass cost more than the lane-starved cin=3 conv. Keep the pool.)
+
+    `pooled=True` means the caller already applied φ (clip is at H/2×W/2);
+    the pool is skipped. φ is per-frame and linear, so pooling once and
+    slicing/concatenating outside is exactly the in-forward pool — the
+    train step uses this to pool the real clip once per step instead of
+    once per D-step forward.
     """
     b, t = clip.shape[:2]
     n_down = len(cfg.mults) - 1
-    x = resize.avg_pool_2x_video(clip)
+    x = clip if pooled else resize.avg_pool_2x_video(clip)
     i = 0
     for blk in params["blocks"][:cfg.n_3d_blocks]:
         x = resblocks.dblock3d(blk, x, down=(i < n_down), first=(i == 0))

@@ -60,6 +60,7 @@ import jax.numpy as jnp
 from dvdgan_tpu.models import DSConfig, DTConfig, GConfig
 from dvdgan_tpu.models import discriminator, generator
 from dvdgan_tpu.ops import losses
+from dvdgan_tpu.ops import resize
 from dvdgan_tpu.ops import spectral_norm as sn
 from dvdgan_tpu.train import state as train_state
 from dvdgan_tpu.train.state import TrainConfig
@@ -167,10 +168,15 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
 
     # ---- DT scoring: plain, or time-sharded CP (SURVEY §5.7) --------------
     # clips are passed at FULL resolution — the φ 2× avg-pool happens inside
-    # dt_apply (discriminator.py), once per forward
-    def dt_score(dt_sn, full_clip, yy):
+    # dt_apply (discriminator.py), once per forward. Exception: the D phase
+    # pre-pools real + all fakes ONCE per step (pooled=True) — φ is
+    # per-frame and linear, so this is bitwise the in-forward pool at
+    # (d_steps-1)× less real-clip pooling. CP keeps full-res clips (the
+    # halo exchange slices before pooling).
+    def dt_score(dt_sn, full_clip, yy, pooled=False):
         if time_axis is None:
-            return discriminator.dt_apply(dt_sn, full_clip, yy, dt_cfg)
+            return discriminator.dt_apply(dt_sn, full_clip, yy, dt_cfg,
+                                          pooled=pooled)
         from dvdgan_tpu.parallel import time_shard
         n = jax.lax.axis_size(time_axis)
         tl = full_clip.shape[1] // n
@@ -214,15 +220,29 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
             for i in range(tc.d_steps)])
     fake_all = jax.lax.stop_gradient(fake_all)
 
+    # D-phase φ pre-pooling (skipped under time-axis CP — the halo
+    # exchange needs full-res shards): real and all d_steps fake clips
+    # are pooled once here; dt_score gets pooled=True below. No gradient
+    # flows through these pools (real is data, fakes are stop_gradient'd).
+    pre_pooled = time_axis is None
+    if pre_pooled:
+        real_dt = resize.avg_pool_2x_video(real)
+        fake_all_dt = resize.avg_pool_2x_video(fake_all)
+        cond_dt = real_dt[:, :cf] if cf else None
+    else:
+        real_dt, fake_all_dt, cond_dt = real, fake_all, cond
+
     # ---------------------------------------------------- D phase ×d_steps --
     for i in range(tc.d_steps):
         fake = fake_all[i * b:(i + 1) * b]
+        fake_dt = fake_all_dt[i * b:(i + 1) * b]
 
         idx_r = draw_idx(3 * i + 1)
         idx_f = draw_idx(3 * i + 2)
         real_frames = take_frames(real_gen, idx_r)
         fake_frames = take_frames(fake, idx_f)
-        fake_full = jnp.concatenate([cond, fake], axis=1) if cf else fake
+        fake_full = (jnp.concatenate([cond_dt, fake_dt], axis=1)
+                     if cf else fake_dt)
 
         def d_loss_fn(d_params, rf, ff, rh, fh, yy):
             ds_sn, ds_u = sn.sn_normalize(d_params["ds"],
@@ -239,9 +259,11 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
             yy2 = jnp.concatenate([yy, yy])
             ds_both = discriminator.ds_apply(
                 ds_sn, jnp.concatenate([rf, ff]), yy2, ds_cfg)
-            dt_both = dt_score(dt_sn, jnp.concatenate([rh, fh]), yy2)
-            # (rh/fh are the FULL-res clips; kept as separate args so the
-            # grad_accum micro-slicing stays per-stream)
+            dt_both = dt_score(dt_sn, jnp.concatenate([rh, fh]), yy2,
+                               pooled=pre_pooled)
+            # (rh/fh are the DT clips — φ-pooled unless CP keeps them
+            # full-res; kept as separate args so the grad_accum
+            # micro-slicing stays per-stream)
             l_ds = losses.d_hinge(ds_both[:bb_], ds_both[bb_:])
             l_dt = losses.d_hinge(dt_both[:bb_], dt_both[bb_:])
             return l_ds + l_dt, (l_ds, l_dt, ds_u, dt_u)
@@ -250,10 +272,10 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
         if ka == 1:
             (d_loss, (l_ds, l_dt, ds_u, dt_u)), d_grads = (
                 jax.value_and_grad(d_loss_fn, has_aux=True)(
-                    d_params, real_frames, fake_frames, real, fake_full, y))
+                    d_params, real_frames, fake_frames, real_dt, fake_full, y))
         else:
             micro = tuple(_micro(x, ka) for x in (
-                real_frames, fake_frames, real, fake_full, y))
+                real_frames, fake_frames, real_dt, fake_full, y))
             d_grads, ls, auxes = _accum_grads(d_loss_fn, d_params, micro, ka)
             d_loss = ls.mean()
             l_ds = auxes[0].mean()

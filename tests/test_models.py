@@ -97,6 +97,19 @@ def test_dt_applies_phi_internally():
     assert got.shape == (2,) and np.isfinite(np.asarray(got)).all()
 
 
+def test_dt_pooled_flag_bitwise():
+    """dt_apply(clip) == dt_apply(φ(clip), pooled=True) BITWISE — the
+    train step's D-phase pre-pooling (one φ per step instead of one per
+    DT forward) relies on this exactness."""
+    p = discriminator.dt_init(key(0), DT_CFG)
+    clip = jax.random.normal(key(1), (2, 4, 32, 32, 3))
+    y = jnp.array([0, 3])
+    a = discriminator.dt_apply(p, clip, y, DT_CFG)
+    b = discriminator.dt_apply(p, resize.avg_pool_2x_video(clip), y, DT_CFG,
+                               pooled=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_sn_covers_all_model_kernels():
     """Every conv/linear kernel and embedding in G, DS, DT opts into the SN
     pass (SURVEY §2.1: SN everywhere)."""
