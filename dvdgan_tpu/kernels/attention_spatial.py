@@ -46,9 +46,13 @@ def fits_vmem(h: int, w: int, c: int, itemsize: int = 2,
     c8 = c8 if c8 is not None else max(c // 8, 1)
     c2 = c2 if c2 is not None else max(c // 2, 1)
     logits = 2 * hw * kvn * 4                      # f32 logits + attn
-    toks = (2 * hw * c + kvn * c) * itemsize       # x, out, pooled kv
+    # x and out frame blocks are grid-streamed -> double-buffered (same
+    # 2x the GRU kernels' _seq_batch_block counts); pooled kv is scratch
+    stream = 2 * (2 * hw * c) * itemsize
+    kvtok = kvn * c * itemsize
     qkv = (hw * c8 + kvn * (c8 + c2) + hw * c2) * 4
-    return logits + toks + qkv < _VMEM_LIMIT_BYTES
+    f32io = 2 * hw * c * 4                         # xt-as-f32 + y/out f32
+    return logits + stream + kvtok + qkv + f32io < _VMEM_LIMIT_BYTES
 
 
 def _attn_kernel(x_ref, wq_ref, wk_ref, wv_ref, wo_ref, gamma_ref, out_ref):

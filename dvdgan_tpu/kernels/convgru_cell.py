@@ -63,7 +63,7 @@ def kernel_gru_step(h_block, gx_block, cx_block, wg, wc,
     3×3 convs as shifted matmuls using the caller's padded scratch refs).
     h_block/cx_block: (B, H, W, C); gx_block: (B, H, W, 2C) ->
     (B, H, W, C) in h_block's dtype. A change here changes BOTH kernels;
-    their VJPs recompute with recompute_cell/_seq_bwd_scan — keep the
+    their VJPs recompute with _cell_recompute_bwd/_seq_bwd_scan — keep the
     forward math in sync with those (oracle tests enforce it)."""
     b, h, w, c = h_block.shape
 

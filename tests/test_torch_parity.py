@@ -424,7 +424,7 @@ def _grads_into_params(mod):
 
 
 def test_gradient_parity_d_loss():
-    import chex
+    chex = pytest.importorskip("chex")
 
     _, ds_cfg, dt_cfg = _tiny_cfgs()
     rng = RNG(31)
@@ -468,7 +468,7 @@ def test_gradient_parity_d_loss():
 
 
 def test_gradient_parity_g_loss():
-    import chex
+    chex = pytest.importorskip("chex")
 
     from dvdgan_tpu.train.step import take_frames
 
