@@ -1,10 +1,17 @@
-"""Multi-host (multi-process) DP smoke — SURVEY.md §5.8 / VERDICT r1 §2.16.
+"""Multi-host (multi-process) DP + CP smoke — SURVEY.md §5.8 / r1 §2.16.
 
 Forms a real 2-process jax.distributed cluster on localhost (CPU backend,
-2 virtual devices per process → a 4-device global mesh), runs ONE
-shard_map'd DP train step with gradient pmean + cross-replica BN spanning
-the process boundary, and checks the replicated state agrees bitwise
-across processes (printed digest).
+2 virtual devices per process → a 4-device global mesh), then runs TWO
+shard_map'd train-step legs and checks the replicated state agrees
+bitwise across processes (printed digests):
+
+  1. DP: 1-D data mesh — gradient pmean + cross-replica BN span the
+     process boundary.
+  2. CP: 2-D (time=2 outer, data=2) mesh — `time` is the OUTER axis, so
+     for a fixed data rank the two time shards live on DIFFERENT
+     processes: DT's ppermute frame-halo exchange and the time-axis
+     score psum cross the process boundary (the pod-scale long-clip
+     topology, SURVEY §5.7).
 
 This is the same code path a TPU pod runs (jax.distributed.initialize →
 mesh over jax.devices() → make_parallel_train_step); only the transport
@@ -48,29 +55,36 @@ def worker(pid: int) -> None:
     dt_cfg = DTConfig(img_size=32, n_frames=4, ch=8, n_classes=5)
     tc = TrainConfig(d_steps=1, batch_size=n)
 
-    mesh = parallel.make_mesh()     # spans both processes' devices
-    state = parallel.replicate_state(
-        mesh, create(jax.random.PRNGKey(0), g_cfg, ds_cfg, dt_cfg, tc))
+    def run_leg(tag: str, mesh) -> None:
+        state = parallel.replicate_state(
+            mesh, create(jax.random.PRNGKey(0), g_cfg, ds_cfg, dt_cfg, tc))
+        # every process materializes the same global batch; device_put with
+        # the batch sharding keeps only this process's shards locally
+        rng = np.random.RandomState(0)
+        real = rng.randn(tc.batch_size, 4, 32, 32, 3).astype(np.float32)
+        y = (np.arange(tc.batch_size) % 5).astype(np.int32)
+        real_d, y_d = parallel.shard_batch(mesh, real, y)
 
-    # every process materializes the same global batch; device_put with the
-    # batch sharding keeps only this process's shards locally
-    rng = np.random.RandomState(0)
-    real = rng.randn(n, 4, 32, 32, 3).astype(np.float32)
-    y = (np.arange(n) % 5).astype(np.int32)
-    real_d, y_d = parallel.shard_batch(mesh, real, y)
+        step = parallel.make_parallel_train_step(g_cfg, ds_cfg, dt_cfg, tc,
+                                                 mesh)
+        state, metrics = step(state, real_d, y_d, jax.random.PRNGKey(1))
 
-    step = parallel.make_parallel_train_step(g_cfg, ds_cfg, dt_cfg, tc, mesh)
-    state, metrics = step(state, real_d, y_d, jax.random.PRNGKey(1))
+        m = {k: float(v) for k, v in metrics.items()}
+        assert all(np.isfinite(v) for v in m.values()), m
+        assert int(state["step"]) == 1
+        # digest of the (replicated) updated params — must match across procs
+        leaves = jax.tree.leaves(jax.device_get(state["g"]["params"]))
+        digest = hashlib.sha256(
+            b"".join(np.ascontiguousarray(l).tobytes() for l in leaves)
+        ).hexdigest()[:16]
+        print(f"proc {pid}: [{tag}] metrics {m} params-digest-{tag} {digest}",
+              flush=True)
 
-    m = {k: float(v) for k, v in metrics.items()}
-    assert all(np.isfinite(v) for v in m.values()), m
-    assert int(state["step"]) == 1
-    # digest of the (replicated) updated params — must match across procs
-    leaves = jax.tree.leaves(jax.device_get(state["g"]["params"]))
-    digest = hashlib.sha256(
-        b"".join(np.ascontiguousarray(l).tobytes() for l in leaves)
-    ).hexdigest()[:16]
-    print(f"proc {pid}: metrics {m} params-digest {digest}", flush=True)
+    run_leg("dp", parallel.make_mesh())
+    # time OUTER so each (data-rank) pair of time shards spans both
+    # processes: the DT halo ppermute and time-score psum cross hosts
+    run_leg("cp", parallel.make_mesh(
+        shape=(2, 2), axis_names=(parallel.TIME_AXIS, parallel.DATA_AXIS)))
 
 
 def main() -> None:
@@ -89,14 +103,16 @@ def main() -> None:
         text=True) for i in range(2)]
     outs = [p.communicate(timeout=900)[0] for p in procs]
     rcs = [p.returncode for p in procs]
-    digests = []
+    digests: dict[str, list] = {"dp": [], "cp": []}
     for i, out in enumerate(outs):
         print(f"--- worker {i} (rc={rcs[i]}) ---")
         print(out[-1500:])
         for line in out.splitlines():
-            if "params-digest" in line:
-                digests.append(line.split()[-1])
-    ok = rcs == [0, 0] and len(digests) == 2 and digests[0] == digests[1]
+            for tag in digests:
+                if f"params-digest-{tag}" in line:
+                    digests[tag].append(line.split()[-1])
+    ok = rcs == [0, 0] and all(
+        len(d) == 2 and d[0] == d[1] for d in digests.values())
     print("MULTIHOST-SMOKE-" + ("OK" if ok else "FAIL"))
     sys.exit(0 if ok else 1)
 
