@@ -17,11 +17,42 @@ target is vs_baseline ≥ 5.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
 
 from tools import _bench_common as bc
+
+
+def wait_for_device(total_s: float, probe_timeout: float = 120.0) -> None:
+    """Block until the JAX backend initializes, retrying through transient
+    axon-tunnel outages (observed failure modes: init HANGS, or raises
+    UNAVAILABLE after minutes). Probes in a SUBPROCESS so a hung init
+    can be timed out without wedging this process; only when a probe
+    succeeds does the in-process backend init proceed."""
+    deadline = time.monotonic() + total_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0:
+                return
+            err = r.stderr.decode(errors="replace")[-200:]
+        except subprocess.TimeoutExpired:
+            err = f"device probe hung > {probe_timeout:.0f}s"
+        if time.monotonic() > deadline:
+            raise RuntimeError(
+                f"backend unavailable after {attempt} probes over "
+                f"{total_s:.0f}s; last: {err}")
+        print(f"bench: device probe {attempt} failed ({err.strip()}); "
+              "retrying in 30s", file=sys.stderr, flush=True)
+        time.sleep(30)
 
 # FLOP-derived UPPER bound on the fp32 PyTorch reference at this config on
 # one V100 (derivation in BASELINE.md) — dividing by an upper bound makes
@@ -37,6 +68,7 @@ CALLS = 4
 
 
 def main():
+    wait_for_device(float(os.environ.get("DVDGAN_BENCH_WAIT_S", "900")))
     # the FIXED flagship config (no env overrides here — this is the
     # driver's harness); built by the same shared builder the profile and
     # config-bench tools use so they can never drift (tools/_bench_common)
