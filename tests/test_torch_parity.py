@@ -514,3 +514,65 @@ def test_gradient_parity_g_loss():
     gt, _ = tw.export_generator(mg)
     chex.assert_trees_all_close(jax.tree.map(np.asarray, gj), gt,
                                 atol=1e-4, rtol=1e-3)
+
+
+def test_gradient_parity_g_loss_fp():
+    """FP variant of the G-phase gradient parity: the conditioning frame
+    encoder and per-level GRU warm-up must produce matching gradients too
+    (DS scores generated frames only; DT the full cond+generated clip —
+    train/step.py's FP wiring)."""
+    chex = pytest.importorskip("chex")
+
+    from dvdgan_tpu.train.step import take_frames
+
+    import dataclasses
+    g_cfg0, ds_cfg, dt_cfg0 = _tiny_cfgs()
+    cf = 2
+    g_cfg = dataclasses.replace(g_cfg0, cond_frames=cf)
+    dt_cfg = dataclasses.replace(dt_cfg0, n_frames=dt_cfg0.n_frames + cf)
+    rng = RNG(33)
+    params, stats = generator.init(jax.random.PRNGKey(60), g_cfg)
+    params["attn"]["spatial"]["gamma"] = jnp.float32(0.5)
+    params["attn"]["temporal"]["gamma"] = jnp.float32(0.25)
+    ds_params = discriminator.ds_init(jax.random.PRNGKey(61), ds_cfg)
+    dt_params = discriminator.dt_init(jax.random.PRNGKey(62), dt_cfg)
+    z = rng.randn(2, g_cfg.z_dim).astype(np.float32)
+    y = rng.randint(0, g_cfg.n_classes, 2)
+    cond = rng.rand(2, cf, g_cfg.img_size, g_cfg.img_size,
+                    3).astype(np.float32) * 2.0 - 1.0
+    idx = np.stack([rng.permutation(g_cfg.n_frames)[:ds_cfg.k_frames]
+                    for _ in range(2)]).astype(np.int32)
+
+    def loss_j(gp):
+        fake, _ = generator.apply(gp, stats, jnp.asarray(z), jnp.asarray(y),
+                                  g_cfg, train=True,
+                                  cond_video=jnp.asarray(cond))
+        s = discriminator.ds_apply(ds_params,
+                                   take_frames(fake, jnp.asarray(idx)),
+                                   jnp.asarray(y), ds_cfg)
+        full = jnp.concatenate([jnp.asarray(cond), fake], axis=1)
+        t = discriminator.dt_apply(dt_params, full, jnp.asarray(y), dt_cfg)
+        return losses.g_hinge(s) + losses.g_hinge(t)
+
+    lj, gj = jax.value_and_grad(loss_j)(params)
+
+    mg = tw.Generator(g_cfg)
+    tw.load_generator(mg, jax.tree.map(np.asarray, params),
+                      jax.tree.map(np.asarray, stats))
+    mg.train(True)
+    mds = tw.SpatialDiscriminator(ds_cfg)
+    tw.load_ds(mds, jax.tree.map(np.asarray, ds_params))
+    mdt = tw.TemporalDiscriminator(dt_cfg)
+    tw.load_dt(mdt, jax.tree.map(np.asarray, dt_params), dt_cfg.n_3d_blocks)
+    ty = torch.from_numpy(y)
+    fake_t = mg(to_t(z), ty, cond_video=to_t(cond))
+    frames_t = fake_t[torch.arange(2)[:, None], torch.from_numpy(idx)]
+    full_t = torch.cat([to_t(cond), fake_t], dim=1)
+    lt = -mds(frames_t, ty).mean() - mdt(full_t, ty).mean()
+    lt.backward()
+    np.testing.assert_allclose(float(lj), float(lt.detach()),
+                               atol=1e-4, rtol=1e-5)
+    _grads_into_params(mg)
+    gt, _ = tw.export_generator(mg)
+    chex.assert_trees_all_close(jax.tree.map(np.asarray, gj), gt,
+                                atol=1e-4, rtol=1e-3)
