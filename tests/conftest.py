@@ -20,3 +20,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: the suite's wall-clock on the 1-core host
+# is dominated by recompiling the same tiny-shape executables every run
+# (keyed by HLO hash, so staleness is impossible by construction).
+_cache_dir = os.environ.get("DVDGAN_TEST_CACHE",
+                            os.path.join(os.path.dirname(__file__), "..",
+                                         ".cache", "jax"))
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
