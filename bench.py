@@ -69,6 +69,8 @@ CALLS = 4
 
 def main():
     wait_for_device(float(os.environ.get("DVDGAN_BENCH_WAIT_S", "900")))
+    from dvdgan_tpu.utils.cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     # the FIXED flagship config (no env overrides here — this is the
     # driver's harness); built by the same shared builder the profile and
     # config-bench tools use so they can never drift (tools/_bench_common)

@@ -31,11 +31,13 @@ import os
 import jax
 
 from dvdgan_tpu.train.trainer import Trainer
+from dvdgan_tpu.utils.cache import enable_persistent_compilation_cache
 from dvdgan_tpu.utils.config import parse_config
 
 
 def main(argv=None):
     cfg = parse_config(argv)
+    enable_persistent_compilation_cache()
     if cfg.multihost:
         # pod-scale DP (SURVEY §5.8): one process per host; the mesh then
         # spans all hosts' devices and XLA routes ICI within a slice and
