@@ -134,6 +134,49 @@ def test_time_cp_step_matches_data_parallel_only():
                 err_msg=f"{name}{jax.tree_util.keystr(path)}")
 
 
+def test_time_cp_with_grad_accum_d_phase_exact():
+    """Preset 4's actual deployment combo — time-axis CP AND gradient
+    accumulation together (256px/48f, global batch 512): micro-batch
+    slicing of the FULL-RES DT clips (CP skips the φ pre-pool) must
+    compose with the per-micro halo exchange inside the accumulation
+    scan. Contract check mirrors the single-device grad_accum test:
+    D-phase updates exactly equal the k=1 step's (mean reassociation
+    only); G phase runs finite with the documented per-micro-BN
+    deviation staying small at init."""
+    import dataclasses
+
+    devs = jax.devices()
+    tc1 = dataclasses.replace(TC, batch_size=4)
+    tck = dataclasses.replace(tc1, grad_accum=2)
+    st0 = create(jax.random.PRNGKey(0), G_CFG, DS_CFG, DT_CFG, tc1)
+    rng = np.random.RandomState(5)
+    real = rng.randn(4, 4, 32, 32, 3).astype(np.float32)
+    y = (np.arange(4) % 5).astype(np.int32)
+
+    mesh = make_mesh((2, 2), ("data", "time"), devices=devs[:4])
+    outs = {}
+    for tag, tc in (("k1", tc1), ("k2", tck)):
+        st = replicate_state(mesh, st0)
+        step = make_parallel_train_step(G_CFG, DS_CFG, DT_CFG, tc, mesh,
+                                        donate=False)
+        r, yy = shard_batch(mesh, real, y)
+        outs[tag] = step(st, r, yy, jax.random.PRNGKey(9))
+
+    s1, m1 = outs["k1"]
+    sk, mk = outs["k2"]
+    for name in ("ds", "dt"):
+        for la, lb in zip(jax.tree.leaves(jax.device_get(s1[name]["params"])),
+                          jax.tree.leaves(jax.device_get(sk[name]["params"]))):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       atol=2e-6, rtol=1e-5)
+    for k in ("d_loss", "d_loss_s", "d_loss_t"):
+        assert abs(float(m1[k]) - float(mk[k])) < 1e-5, k
+    assert np.isfinite(float(mk["g_loss"]))
+    for la, lb in zip(jax.tree.leaves(jax.device_get(s1["g"]["params"])),
+                      jax.tree.leaves(jax.device_get(sk["g"]["params"]))):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=5e-4)
+
+
 @pytest.mark.skipif(jax.device_count() < 2, reason="needs multi-device")
 def test_parallel_fp_step_runs_and_replicas_agree():
     """DVD-GAN-FP under data parallelism: the frame-conditioned step (cond
