@@ -35,14 +35,28 @@ def wait_for_device(total_s: float, probe_timeout: float = 120.0) -> None:
     succeeds does the in-process backend init proceed."""
     deadline = time.monotonic() + total_s
     attempt = 0
+    # the probe must see a NON-CPU device: in an env where the axon plugin
+    # never registered (e.g. PYTHONPATH without the sitecustomize) backend
+    # init "succeeds" on the host CPU and bench would silently record a
+    # bogus steps/sec/chip number. DVDGAN_BENCH_ALLOW_CPU=1 opts out for
+    # local debugging.
+    allow_cpu = os.environ.get("DVDGAN_BENCH_ALLOW_CPU", "") == "1"
+    probe_src = ("import jax, sys; d = jax.devices(); "
+                 "sys.exit(0 if d and (%s or d[0].platform != 'cpu') "
+                 "else 3)" % allow_cpu)
     while True:
         attempt += 1
         try:
             r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
+                [sys.executable, "-c", probe_src],
                 timeout=probe_timeout, capture_output=True)
             if r.returncode == 0:
                 return
+            if r.returncode == 3:
+                raise RuntimeError(
+                    "backend initialized but only CPU devices are visible "
+                    "- refusing to report a steps/sec/chip number from the "
+                    "host CPU (set DVDGAN_BENCH_ALLOW_CPU=1 to override)")
             err = r.stderr.decode(errors="replace")[-200:]
         except subprocess.TimeoutExpired:
             err = f"device probe hung > {probe_timeout:.0f}s"

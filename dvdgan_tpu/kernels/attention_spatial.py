@@ -91,6 +91,16 @@ def _spatial_attn_pallas(x: jax.Array, wq, wk, wv, wo, gamma,
     w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     hw, kvn = h * w, (h // 2) * (w // 2)
     c8, c2 = wq.shape[-1], wv.shape[-1]
+    if not (interpret
+            or fits_vmem(h, w, c, x.dtype.itemsize, c8=c8, c2=c2)):
+        # mirror convgru_seq: the explicit use_pallas=True override must
+        # fail loudly here, not as an opaque Mosaic OOM (HTTP 500 through
+        # the remote-compile tunnel)
+        raise ValueError(
+            f"spatial-attention frame ({h},{w},{c}) does not fit the "
+            f"per-block VMEM budget — gate with attention_spatial."
+            f"fits_vmem and fall back to the XLA path (maps beyond ~48^2 "
+            f"need a tiled/flash kernel, not this one)")
     return pl.pallas_call(
         _attn_kernel,
         grid=(n,),

@@ -23,11 +23,19 @@ _DEFAULT_DIR = os.path.join(
         os.path.abspath(__file__)))), ".cache", "jax")
 
 
-def enable_persistent_compilation_cache(path: str | None = None) -> str | None:
+_DISABLE_WORDS = ("off", "0", "none", "false", "disable", "disabled", "no")
+
+
+def enable_persistent_compilation_cache(
+        path: str | None = None,
+        min_compile_secs: float = 1.0) -> str | None:
     """Point jax at an on-disk compilation cache. Returns the directory
-    used, or None when disabled via DVDGAN_COMPILE_CACHE=off."""
+    used, or None when disabled via DVDGAN_COMPILE_CACHE=off (any of
+    {off,0,none,false,disable,disabled,no}, case-insensitive). An explicit
+    `path` argument is a programmatic override and wins over the env
+    disable — callers that force a path mean it."""
     env = os.environ.get("DVDGAN_COMPILE_CACHE", "")
-    if env.lower() in ("off", "0", "none"):
+    if path is None and env.lower() in _DISABLE_WORDS:
         return None
     cache_dir = path or (env if env else _DEFAULT_DIR)
     os.makedirs(cache_dir, exist_ok=True)
@@ -35,5 +43,6 @@ def enable_persistent_compilation_cache(path: str | None = None) -> str | None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)
     return cache_dir

@@ -24,9 +24,10 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: the suite's wall-clock on the 1-core host
 # is dominated by recompiling the same tiny-shape executables every run
 # (keyed by HLO hash, so staleness is impossible by construction).
-_cache_dir = os.environ.get("DVDGAN_TEST_CACHE",
-                            os.path.join(os.path.dirname(__file__), "..",
-                                         ".cache", "jax"))
-os.makedirs(_cache_dir, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# Zero min-compile-time: test executables are individually tiny.
+# DVDGAN_TEST_CACHE relocates; DVDGAN_COMPILE_CACHE=off disables.
+from dvdgan_tpu.utils.cache import (  # noqa: E402
+    enable_persistent_compilation_cache)
+
+enable_persistent_compilation_cache(
+    os.environ.get("DVDGAN_TEST_CACHE") or None, min_compile_secs=0.0)

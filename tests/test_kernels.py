@@ -342,3 +342,21 @@ def test_attention_kernel_vmem_gate():
     assert ka.fits_vmem(32, 32, 64, 2)
     assert not ka.fits_vmem(64, 64, 64, 2)
     assert not ka.fits_vmem(128, 128, 64, 2)
+
+
+def test_attention_kernel_refuses_unfit_shape():
+    """use_pallas=True overrides the auto-gate, so the kernel itself must
+    fail loudly on an over-budget frame (like convgru_seq) instead of
+    compiling into an opaque Mosaic OOM."""
+    import pytest
+
+    from dvdgan_tpu.kernels import attention_spatial as ka
+
+    c = 64
+    x = jnp.zeros((1, 64, 64, c), jnp.bfloat16)
+    wq = jnp.zeros((c, c // 8), jnp.float32)
+    wk = jnp.zeros((c, c // 8), jnp.float32)
+    wv = jnp.zeros((c, c // 2), jnp.float32)
+    wo = jnp.zeros((c // 2, c), jnp.float32)
+    with pytest.raises(ValueError, match="VMEM"):
+        ka._spatial_attn_pallas(x, wq, wk, wv, wo, jnp.float32(0.1))

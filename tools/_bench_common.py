@@ -55,6 +55,12 @@ def init_state_and_batch(g_cfg, ds_cfg, dt_cfg, tc, dims: dict, seed: int = 0):
     import numpy as np
 
     from dvdgan_tpu.train import create
+    from dvdgan_tpu.utils.cache import enable_persistent_compilation_cache
+
+    # every harness built through here (bench.py, profile_step.py,
+    # bench_config.py) gets the persistent compile cache — restarted runs
+    # skip the ~2-16 min train-step compile
+    enable_persistent_compilation_cache()
 
     with jax.default_device(jax.devices("cpu")[0]):
         state = create(jax.random.PRNGKey(seed), g_cfg, ds_cfg, dt_cfg, tc)

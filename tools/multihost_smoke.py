@@ -34,6 +34,9 @@ PORT = 12357
 def worker(pid: int) -> None:
     import jax
     jax.config.update("jax_platforms", "cpu")
+    from dvdgan_tpu.utils.cache import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()   # 4 train-step compiles/run on
+    #                                         a 1-core host without it
     jax.distributed.initialize(coordinator_address=f"127.0.0.1:{PORT}",
                                num_processes=2, process_id=pid)
     import hashlib
@@ -101,7 +104,18 @@ def main() -> None:
         [sys.executable, os.path.abspath(__file__), "worker", str(i)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for i in range(2)]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+    try:
+        # 2 legs × 2 workers = 4 train-step compiles contending on the
+        # 1-core host (first run; the persistent cache amortizes repeats)
+        outs = [p.communicate(timeout=1800)[0] for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:           # don't orphan workers holding the port
+            p.kill()
+        outs = [p.communicate()[0] or "" for p in procs]
+        for i, out in enumerate(outs):
+            print(f"--- worker {i} (TIMEOUT) ---\n{out[-1500:]}")
+        print("MULTIHOST-SMOKE-FAIL (timeout)")
+        sys.exit(1)
     rcs = [p.returncode for p in procs]
     digests: dict[str, list] = {"dp": [], "cp": []}
     for i, out in enumerate(outs):
