@@ -1,0 +1,70 @@
+"""bench.py's device-availability gate and the persistent-cache knobs —
+pure host-side logic, no backend init (the probe subprocess is stubbed)."""
+
+import subprocess
+
+import pytest
+
+import bench
+from dvdgan_tpu.utils import cache as cache_mod
+
+
+class _R:
+    def __init__(self, rc, err=b""):
+        self.returncode = rc
+        self.stderr = err
+
+
+def test_wait_for_device_success(monkeypatch):
+    calls = []
+    monkeypatch.setattr(subprocess, "run",
+                        lambda *a, **k: calls.append(1) or _R(0))
+    bench.wait_for_device(5.0)
+    assert calls == [1]
+
+
+def test_wait_for_device_refuses_cpu_only(monkeypatch):
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: _R(3))
+    with pytest.raises(RuntimeError, match="CPU"):
+        bench.wait_for_device(5.0)
+
+
+def test_wait_for_device_retries_then_deadline(monkeypatch):
+    calls = []
+
+    def fake_run(*a, **k):
+        calls.append(1)
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=1)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench.time, "monotonic",
+                        iter(range(100)).__next__)   # 1s per call
+    with pytest.raises(RuntimeError, match="unavailable"):
+        bench.wait_for_device(3.0)
+    assert len(calls) >= 2          # it retried before giving up
+
+
+def test_cache_disable_words(monkeypatch, tmp_path):
+    import jax
+
+    # enable_persistent_compilation_cache mutates global jax config —
+    # restore the suite's cache dir (set by conftest) afterwards
+    saved_dir = jax.config.jax_compilation_cache_dir
+    saved_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        for word in ("off", "FALSE", "Disable", "none", "0", "no"):
+            monkeypatch.setenv("DVDGAN_COMPILE_CACHE", word)
+            assert cache_mod.enable_persistent_compilation_cache() is None
+        # explicit path wins over the env disable (programmatic override)
+        monkeypatch.setenv("DVDGAN_COMPILE_CACHE", "off")
+        d = cache_mod.enable_persistent_compilation_cache(str(tmp_path / "c"))
+        assert d == str(tmp_path / "c")
+        # env value that isn't a disable word is a directory
+        monkeypatch.setenv("DVDGAN_COMPILE_CACHE", str(tmp_path / "envdir"))
+        assert (cache_mod.enable_persistent_compilation_cache()
+                == str(tmp_path / "envdir"))
+    finally:
+        jax.config.update("jax_compilation_cache_dir", saved_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          saved_min)
