@@ -16,6 +16,7 @@ resume flag).
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any, Optional
 
 import jax
@@ -46,6 +47,58 @@ def _prune(ckpt_dir: str, max_to_keep: int) -> None:
                    and os.path.isdir(os.path.join(base, d)))
     for s in steps[:-max_to_keep]:
         shutil.rmtree(os.path.join(base, str(s)), ignore_errors=True)
+
+
+class AsyncSaver:
+    """Checkpointing off the training path (SURVEY §5.4).
+
+    `save()` snapshots the state to host memory on the caller's thread —
+    mandatory, because the train step donates its state argument
+    (`make_train_step(donate=True)`), so the device buffers die at the
+    next dispatch — then runs the Orbax write + retention prune on a
+    background thread. The snapshot itself is overlapped: every leaf's
+    device→host DMA is started at once with `copy_to_host_async` before
+    the blocking `device_get` walk (a cold leaf-by-leaf fetch would pay
+    one remote-tunnel round-trip per leaf).
+
+    At most one write is in flight: a second `save()` (or `wait()`) joins
+    the previous one first and re-raises any failure it hit — a silently
+    dropped checkpoint would void the preemption-safety contract that
+    `latest_step` resume relies on.
+    """
+
+    def __init__(self):
+        self._thread: Optional[threading.Thread] = None
+        self._error: Optional[BaseException] = None
+
+    def save(self, ckpt_dir: str, step: int, state: Any,
+             max_to_keep: Optional[int] = None) -> None:
+        self.wait()
+        for leaf in jax.tree.leaves(state):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+        host_state = jax.device_get(state)
+
+        def _write():
+            try:
+                save(ckpt_dir, step, host_state, max_to_keep=max_to_keep)
+            except BaseException as e:   # re-raised on the caller's thread
+                self._error = e
+
+        self._thread = threading.Thread(
+            target=_write, name=f"ckpt-save-{step}", daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        """Block until the in-flight write (if any) finishes; re-raise its
+        failure. Call after the train loop so the final checkpoint is
+        durable before the process exits."""
+        t, self._thread = self._thread, None
+        if t is not None:
+            t.join()
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("async checkpoint save failed") from err
 
 
 def latest_step(ckpt_dir: str) -> Optional[int]:

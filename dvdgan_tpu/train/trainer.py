@@ -49,6 +49,7 @@ class Trainer:
 
         self.dataset = self._build_dataset()
         self.loader = Loader(self.dataset, cfg.batch_size, seed=cfg.seed)
+        self.saver = ckpt.AsyncSaver() if cfg.async_save else None
 
         key = jax.random.PRNGKey(cfg.seed)
         self.state = train_state.create(key, self.g_cfg, self.ds_cfg,
@@ -241,8 +242,15 @@ class Trainer:
                 print(f"eval @ {step}: " + " ".join(
                     f"{k} {v:.4f}" for k, v in ev.items()))
             if c.model_save_step and step % c.model_save_step == 0:
-                ckpt.save(self.ckpt_dir, step, jax.device_get(self.state),
-                          max_to_keep=c.keep_checkpoints or None)
+                if self.saver is not None:
+                    self.saver.save(self.ckpt_dir, step, self.state,
+                                    max_to_keep=c.keep_checkpoints or None)
+                else:
+                    ckpt.save(self.ckpt_dir, step,
+                              jax.device_get(self.state),
+                              max_to_keep=c.keep_checkpoints or None)
+        if self.saver is not None:   # final checkpoint must be durable
+            self.saver.wait()        # before the process can exit
         if lagged is not None:   # final interval's metrics, never yet written
             lstep, lmetrics = lagged
             self.writer.scalars(self._metrics_host(lmetrics), lstep)
@@ -305,4 +313,6 @@ class Trainer:
         save_batch_gifs(self.sample_dir, videos, step)
 
     def close(self):
+        if self.saver is not None:
+            self.saver.wait()
         self.writer.close()

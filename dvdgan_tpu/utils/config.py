@@ -77,6 +77,10 @@ class Config:
     keep_checkpoints: int = 0         # >0: retain only the newest N
     #                                   checkpoints (0 = keep all, the
     #                                   reference behavior)
+    async_save: bool = True           # write checkpoints on a background
+    #                                   thread (device→host snapshot stays
+    #                                   on the train thread — the step
+    #                                   donates its state buffers)
     eval_step: int = 0                # >0: periodic in-training FVD/IS —
     #                                   evaluate_generator on eval_samples
     #                                   EMA-G samples, logged to scalars

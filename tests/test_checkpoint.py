@@ -32,6 +32,57 @@ def test_restore_latest_none(tmp_path):
     assert step is None
 
 
+def test_async_save_matches_sync_bitwise(tmp_path):
+    """AsyncSaver must produce a checkpoint bitwise-indistinguishable
+    from the synchronous path (the full-state snapshot is taken on the
+    caller's thread at save() time; the write happens in background)."""
+    st = create(jax.random.PRNGKey(0), G_CFG, DS_CFG, DT_CFG, TC)
+    d_sync = str(tmp_path / "sync")
+    d_async = str(tmp_path / "async")
+    ckpt.save(d_sync, 5, jax.device_get(st))
+
+    saver = ckpt.AsyncSaver()
+    saver.save(d_async, 5, st)
+    template = jax.tree.map(jnp.zeros_like, st)
+    del st   # caller dropping its reference must not affect the write
+    saver.wait()
+    a = ckpt.restore(d_sync, 5, template)
+    b = ckpt.restore(d_async, 5, template)
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_async_save_prunes_and_orders(tmp_path):
+    """Back-to-back async saves serialize (one in flight); retention
+    pruning runs on the background thread and keeps the newest N."""
+    saver = ckpt.AsyncSaver()
+    d = str(tmp_path / "c")
+    for s in (1, 2, 3):
+        saver.save(d, s, {"x": jnp.full((4,), float(s))}, max_to_keep=2)
+    saver.wait()
+    steps = sorted(int(p.name) for p in (tmp_path / "c").iterdir())
+    assert steps == [2, 3]
+    assert ckpt.latest_step(d) == 3
+
+
+def test_async_save_error_surfaces(tmp_path):
+    """A failed background write must raise on the train thread (at the
+    next save/wait), not vanish — silent checkpoint loss would break the
+    auto-resume preemption contract."""
+    blocker = tmp_path / "c"
+    blocker.write_text("not a directory")
+    saver = ckpt.AsyncSaver()
+    saver.save(str(blocker), 1, {"x": jnp.ones(3)})
+    import pytest
+    with pytest.raises(RuntimeError, match="async checkpoint save failed"):
+        saver.wait()
+    # the saver is reusable after the failure is surfaced
+    ok = tmp_path / "ok"
+    saver.save(str(ok), 2, {"x": jnp.ones(3)})
+    saver.wait()
+    assert ckpt.latest_step(str(ok)) == 2
+
+
 def test_latest_picks_max(tmp_path):
     st = {"x": jnp.arange(4.0)}
     d = str(tmp_path / "c")
