@@ -64,10 +64,74 @@ def inception_score(probs: np.ndarray, n_splits: int = 10
     return float(np.mean(scores)), float(np.std(scores))
 
 
+def compute_real_features(ds, extractor: Callable, n: int,
+                          batch_size: int = 16,
+                          frame_extractor: Optional[Callable] = None
+                          ) -> tuple[np.ndarray, Optional[np.ndarray]]:
+    """The real side of FVD/FID: features of the first `n` dataset clips.
+
+    A pure function of (dataset, extractor, n) — so cache it: the trainer
+    memoizes it across --eval_step evaluations and --mode eval can persist
+    it to disk (--real_stats), instead of re-decoding and re-embedding the
+    identical real set on every evaluation (half the scoring-network
+    forwards, all of the real decodes)."""
+    feats = []
+    frame_feats = []
+    n = min(n, len(ds))
+    done = 0
+    while done < n:
+        b = min(batch_size, n - done)
+        items = [ds[done + j] for j in range(b)]
+        reals = np.stack([np.asarray(c, np.float32) for c, _ in items])
+        feats.append(extractor(reals))
+        if frame_extractor is not None:
+            frame_feats.append(frame_extractor(reals))
+        done += b
+    if not feats:
+        raise ValueError("no clips")
+    return (np.concatenate(feats),
+            np.concatenate(frame_feats) if frame_extractor is not None
+            else None)
+
+
+def load_or_compute_real_stats(path: str, ds, extractor: Callable, n: int,
+                               batch_size: int = 16,
+                               frame_extractor: Optional[Callable] = None,
+                               meta: Optional[dict] = None
+                               ) -> tuple[np.ndarray, Optional[np.ndarray]]:
+    """Disk-persisted real-side features (standard FID practice). If
+    `path` exists, load it — after checking every `meta` entry against the
+    stamps written at save time, so stale stats from a different
+    dataset/extractor/shape can't silently poison the Fréchet math.
+    Otherwise compute via `compute_real_features` and save to `path`."""
+    import os
+    meta = meta or {}
+    if os.path.exists(path):
+        z = np.load(path, allow_pickle=False)
+        for k, v in meta.items():
+            got = str(z[f"meta_{k}"]) if f"meta_{k}" in z else "<absent>"
+            if got != str(v):
+                raise ValueError(f"real-stats {k} mismatch at {path}: "
+                                 f"cache has {got!r}, this run wants {v!r}")
+        rff = z["frame_feats"] if "frame_feats" in z else None
+        if rff is not None and rff.ndim == 0:   # saved None placeholder
+            rff = None
+        return z["feats"], rff
+    rf, rff = compute_real_features(ds, extractor, n, batch_size=batch_size,
+                                    frame_extractor=frame_extractor)
+    arrays = {"feats": rf}
+    if rff is not None:
+        arrays["frame_feats"] = rff
+    np.savez(path, **arrays,
+             **{f"meta_{k}": str(v) for k, v in meta.items()})
+    return rf, rff
+
+
 def evaluate_generator(trainer, extractor: Callable, n_samples: int = 256,
                        batch_size: int = 16,
                        classifier: Optional[Callable] = None,
-                       frame_extractor: Optional[Callable] = None) -> dict:
+                       frame_extractor: Optional[Callable] = None,
+                       real_features: Optional[tuple] = None) -> dict:
     """End-to-end eval loop: EMA-G samples vs the trainer's dataset.
     Returns {"fvd": ..., ["is_mean","is_std"]}.
 
@@ -75,13 +139,28 @@ def evaluate_generator(trainer, extractor: Callable, n_samples: int = 256,
     Prediction (DVD-GAN-FP): each fake is conditioned on a real clip's
     prefix; features are computed over the FULL clip (real prefix +
     generated continuation) vs the corresponding real clips — the paper's
-    prediction-FVD protocol ([P] §4)."""
+    prediction-FVD protocol ([P] §4).
+
+    `real_features`: precomputed `compute_real_features(...)` output for
+    THIS (dataset, extractor[, frame_extractor], n). When given, the real
+    side is not re-embedded — and in synthesis mode not even re-decoded
+    (prediction mode still decodes reals: the fakes are conditioned on
+    their prefixes)."""
     import jax
     import jax.numpy as jnp
 
     ds = trainer.dataset
     cf = getattr(trainer.g_cfg, "cond_frames", 0)
     n = min(n_samples, len(ds))
+    if real_features is not None:
+        if frame_extractor is not None and real_features[1] is None:
+            raise ValueError(
+                "real_features lacks frame features but a frame_extractor "
+                "was requested — recompute the cache with frame_extractor")
+        if real_features[0].shape[0] != n:
+            raise ValueError(
+                f"real_features has {real_features[0].shape[0]} clips but "
+                f"this evaluation uses {n} — recompute the cache")
 
     # ONE decode per real clip: each batch is loaded once and feeds the
     # video extractor, the frame extractor AND (in prediction mode) the
@@ -96,13 +175,15 @@ def evaluate_generator(trainer, extractor: Callable, n_samples: int = 256,
     done = 0
     while done < n:
         b = min(batch_size, n - done)
-        items = [ds[done + j] for j in range(b)]   # ONE __getitem__ (and
-        #                                            hence one decode) each
-        reals = np.stack([np.asarray(c, np.float32) for c, _ in items])
-        yy = np.asarray([lbl for _, lbl in items], np.int32)
-        real_feats.append(extractor(reals))
-        if frame_extractor is not None:
-            real_frame_feats.append(frame_extractor(reals))
+        if real_features is None or cf:
+            items = [ds[done + j] for j in range(b)]   # ONE __getitem__
+            #                                 (and hence one decode) each
+            reals = np.stack([np.asarray(c, np.float32) for c, _ in items])
+            yy = np.asarray([lbl for _, lbl in items], np.int32)
+        if real_features is None:
+            real_feats.append(extractor(reals))
+            if frame_extractor is not None:
+                real_frame_feats.append(frame_extractor(reals))
 
         key, kz, ky = jax.random.split(key, 3)
         z = jax.random.normal(kz, (b, trainer.g_cfg.z_dim))
@@ -128,11 +209,15 @@ def evaluate_generator(trainer, extractor: Callable, n_samples: int = 256,
             else:
                 probs.append(classifier(fake))
         done += b
-    out = {"fvd": fvd(np.concatenate(real_feats),
-                      np.concatenate(fake_feats))}
+    if real_features is not None:
+        rf, rff = real_features
+    else:
+        rf = np.concatenate(real_feats)
+        rff = (np.concatenate(real_frame_feats)
+               if frame_extractor is not None else None)
+    out = {"fvd": fvd(rf, np.concatenate(fake_feats))}
     if frame_extractor is not None:
-        out["fid"] = fid(np.concatenate(real_frame_feats),
-                         np.concatenate(fake_frame_feats))
+        out["fid"] = fid(rff, np.concatenate(fake_frame_feats))
     if probs:
         m, s = inception_score(np.concatenate(probs))
         out.update(is_mean=m, is_std=s)

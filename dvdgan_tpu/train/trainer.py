@@ -266,6 +266,7 @@ class Trainer:
         TRENDS, not published-comparable numbers (see --mode eval's
         labeling)."""
         from dvdgan_tpu.eval import (I3DClassifierProbs, I3DFeatures,
+                                     compute_real_features,
                                      evaluate_generator)
         if extractor is None:
             if not hasattr(self, "_eval_fx"):
@@ -276,10 +277,21 @@ class Trainer:
             extractor, clf = self._eval_fx, self._eval_clf
         else:
             clf = None
-        n = n_samples if n_samples is not None else self.cfg.eval_samples
+        n = min(n_samples if n_samples is not None
+                else self.cfg.eval_samples, len(self.dataset))
+        # the real side is fixed for the life of the run (same dataset,
+        # same extractor): embed it once, reuse across --eval_step evals
+        ck = (id(extractor), n)
+        if not hasattr(self, "_real_feats"):
+            self._real_feats = {}
+        if ck not in self._real_feats:
+            self._real_feats[ck] = compute_real_features(
+                self.dataset, extractor, n,
+                batch_size=min(self.cfg.batch_size, n))
         return evaluate_generator(
             self, extractor, n_samples=n,
-            batch_size=min(self.cfg.batch_size, n), classifier=clf)
+            batch_size=min(self.cfg.batch_size, n), classifier=clf,
+            real_features=self._real_feats[ck])
 
     @staticmethod
     def _metrics_host(metrics) -> dict:

@@ -34,6 +34,10 @@ class Config:
     #                                   UCF-101 IS (tools/convert_c3d_weights.py)
     is_protocol: str = "i3d"          # video-IS classifier: i3d (Kinetics,
     #                                   400-way) | c3d (UCF-101, 101-way)
+    real_stats: str = ""              # --mode eval: npz of precomputed
+    #                                   real-side features (standard FID
+    #                                   practice); missing file = compute
+    #                                   once and save there
     # data
     dataset: str = "synthetic"        # synthetic | frames
     data_path: str = ""

@@ -86,8 +86,27 @@ def main(argv=None):
                 # published Kinetics IS = softmax of I3D K-400 logits;
                 # shares params with fx so no second I3D lives on-device
                 clf = I3DClassifierProbs(feature_extractor=fx)
+            real_features = None
+            if cfg.real_stats:
+                from dvdgan_tpu.eval import load_or_compute_real_stats
+                n = min(cfg.n_samples, len(trainer.dataset))
+                meta = {
+                    "dataset": cfg.dataset, "data_path": cfg.data_path,
+                    "img_size": cfg.img_size, "n_frames": cfg.n_frames,
+                    "n": n,
+                    "extractor": ("i3d-kinetics400" if fx.pretrained
+                                  else "i3d-random-init"),
+                    "frame_extractor": ("inception-v3" if fx2d.pretrained
+                                        else "inception-v3-random-init"),
+                }
+                real_features = load_or_compute_real_stats(
+                    cfg.real_stats, trainer.dataset, fx, n,
+                    batch_size=min(cfg.batch_size, n),
+                    frame_extractor=fx2d, meta=meta)
+                print(f"real stats: {cfg.real_stats}")
             out = evaluate_generator(trainer, fx, n_samples=cfg.n_samples,
-                                     classifier=clf, frame_extractor=fx2d)
+                                     classifier=clf, frame_extractor=fx2d,
+                                     real_features=real_features)
             out["extractor"] = ("i3d-kinetics400" if fx.pretrained
                                 else "i3d-random-init")
             out["fvd_published_comparable"] = fx.pretrained

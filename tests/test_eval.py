@@ -200,3 +200,138 @@ def test_eval_single_decode_per_clip(tmp_path):
     tr.close()
     assert np.isfinite(out["fvd"])
     assert len(calls) == 6 and all(v == 1 for v in calls.values())
+
+
+def test_real_features_cache_exact_and_skips_decode(tmp_path):
+    """evaluate_generator with a precomputed real side returns the exact
+    same metrics as the inline path, and in synthesis mode touches the
+    dataset ZERO times (no decode, no real extractor forward)."""
+    import collections
+
+    from dvdgan_tpu.eval import compute_real_features, evaluate_generator
+    from dvdgan_tpu.train.trainer import Trainer
+    from dvdgan_tpu.utils.config import Config
+
+    cfg = Config(dataset="synthetic", n_classes=3, img_size=32, n_frames=4,
+                 ch=8, d_ch=8, k_frames=2, batch_size=2, d_steps=1,
+                 total_step=0, bf16=False, out_dir=str(tmp_path / "run"))
+    tr = Trainer(cfg)
+    fx = I3DLikeFeatures(seed=0, widths=(8, 16))
+    base = evaluate_generator(tr, fx, n_samples=6, batch_size=3)
+
+    rf = compute_real_features(tr.dataset, fx, 6, batch_size=3)
+    calls = collections.Counter()
+    inner = tr.dataset
+
+    class Counting:
+        def __len__(self):
+            return len(inner)
+
+        def __getitem__(self, i):
+            calls[i] += 1
+            return inner[i]
+
+    tr.dataset = Counting()
+    cached = evaluate_generator(tr, fx, n_samples=6, batch_size=3,
+                                real_features=rf)
+    tr.close()
+    assert cached["fvd"] == base["fvd"]
+    assert len(calls) == 0
+
+
+def test_real_features_cache_mismatch_raises(tmp_path):
+    """Wrong-sized caches and caches missing frame features must be
+    rejected, not silently blended into the Fréchet math."""
+    import numpy as np
+    import pytest
+
+    from dvdgan_tpu.eval import evaluate_generator
+    from dvdgan_tpu.train.trainer import Trainer
+    from dvdgan_tpu.utils.config import Config
+
+    cfg = Config(dataset="synthetic", n_classes=3, img_size=32, n_frames=4,
+                 ch=8, d_ch=8, k_frames=2, batch_size=2, d_steps=1,
+                 total_step=0, bf16=False, out_dir=str(tmp_path / "run"))
+    tr = Trainer(cfg)
+    fx = I3DLikeFeatures(seed=0, widths=(8, 16))
+    with pytest.raises(ValueError, match="recompute the cache"):
+        evaluate_generator(tr, fx, n_samples=6, batch_size=3,
+                           real_features=(np.zeros((3, 16)), None))
+    with pytest.raises(ValueError, match="frame_extractor"):
+        evaluate_generator(tr, fx, n_samples=6, batch_size=3,
+                           frame_extractor=fx,
+                           real_features=(np.zeros((6, 16)), None))
+    tr.close()
+
+
+def test_trainer_evaluate_memoizes_real_side(tmp_path):
+    """Trainer.evaluate embeds the real set once; later --eval_step
+    evaluations reuse it (zero additional dataset reads)."""
+    import collections
+
+    from dvdgan_tpu.train.trainer import Trainer
+    from dvdgan_tpu.utils.config import Config
+
+    cfg = Config(dataset="synthetic", n_classes=3, img_size=32, n_frames=4,
+                 ch=8, d_ch=8, k_frames=2, batch_size=2, d_steps=1,
+                 total_step=0, bf16=False, out_dir=str(tmp_path / "run"))
+    tr = Trainer(cfg)
+    calls = collections.Counter()
+    inner = tr.dataset
+
+    class Counting:
+        def __len__(self):
+            return len(inner)
+
+        def __getitem__(self, i):
+            calls[i] += 1
+            return inner[i]
+
+    tr.dataset = Counting()
+    fx = I3DLikeFeatures(seed=0, widths=(8, 16))
+    a = tr.evaluate(extractor=fx, n_samples=6)
+    first = sum(calls.values())
+    b = tr.evaluate(extractor=fx, n_samples=6)
+    tr.close()
+    assert first == 6 and sum(calls.values()) == first
+    assert a["fvd"] == b["fvd"]   # same EMA-G, same seed stream, same reals
+
+
+def test_load_or_compute_real_stats_roundtrip(tmp_path):
+    """Disk path: first call computes+saves, second loads bit-identically;
+    metadata mismatch raises."""
+    import numpy as np
+    import pytest
+
+    from dvdgan_tpu.data import SyntheticVideoDataset
+    from dvdgan_tpu.eval import load_or_compute_real_stats
+
+    ds = SyntheticVideoDataset(n_items=8, n_frames=4, img_size=32,
+                               n_classes=3, seed=0)
+    fx = I3DLikeFeatures(seed=0, widths=(8, 16))
+    path = str(tmp_path / "stats.npz")
+    meta = {"dataset": "synthetic", "img_size": 32, "n": 6}
+    rf, rff = load_or_compute_real_stats(path, ds, fx, 6, batch_size=3,
+                                         meta=meta)
+    assert rff is None
+
+    class Poison:
+        def __getitem__(self, i):
+            raise AssertionError("loaded path must not touch the dataset")
+
+        def __len__(self):
+            return 8
+
+    rf2, rff2 = load_or_compute_real_stats(path, Poison(), fx, 6,
+                                           batch_size=3, meta=meta)
+    assert np.array_equal(rf, rf2) and rff2 is None
+    with pytest.raises(ValueError, match="img_size mismatch"):
+        load_or_compute_real_stats(path, Poison(), fx, 6, batch_size=3,
+                                   meta={**meta, "img_size": 64})
+    # frame features round-trip too
+    path2 = str(tmp_path / "stats_f.npz")
+    rf3, rff3 = load_or_compute_real_stats(path2, ds, fx, 6, batch_size=3,
+                                           frame_extractor=fx, meta=meta)
+    rf4, rff4 = load_or_compute_real_stats(path2, Poison(), fx, 6,
+                                           batch_size=3, meta=meta)
+    assert np.array_equal(rff3, rff4)
