@@ -44,6 +44,11 @@ class TrainConfig:
     # default); "per_step" = one forward per D step (the reference's
     # per-batch stats). A/B'd on-chip — see train/step.py docstring.
     fake_gen: str = "pooled"
+    # emit global gradient-norm scalars (g_grad_norm / d_grad_norm) in the
+    # step metrics — the standard GAN-health telemetry (exploding D grads,
+    # vanishing G grads). Static: adds nothing to the compiled step when
+    # off.
+    log_grad_norms: bool = False
 
 
 def g_optimizer(tc: TrainConfig) -> optax.GradientTransformation:

@@ -296,6 +296,8 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
                        "sn_u": dt_u, "opt": opt_dt}
         if i == tc.d_steps - 1:
             metrics.update(d_loss=d_loss, d_loss_s=l_ds, d_loss_t=l_dt)
+            if tc.log_grad_norms:
+                metrics["d_grad_norm"] = _global_norm(d_grads)
 
     # -------------------------------------------------------- G phase ×1 ----
     z_g = draw_z(3 * tc.d_steps)
@@ -347,7 +349,16 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
         state["g_ema"], new_g_params, tc.ema_decay, step, tc.ema_start)
     state["step"] = step + 1
     metrics["g_loss"] = g_loss
+    if tc.log_grad_norms:
+        metrics["g_grad_norm"] = _global_norm(g_grads)
     return state, metrics
+
+
+def _global_norm(grads) -> jax.Array:
+    """l2 norm over the whole gradient tree (in f32: bf16 squares of
+    O(1e-2) grads underflow)."""
+    return jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                        for g in jax.tree.leaves(grads)))
 
 
 def _apply(params, updates):

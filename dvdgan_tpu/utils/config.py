@@ -66,6 +66,7 @@ class Config:
     d_steps: int = 2
     grad_accum: int = 1               # micro-batches per update (preset 4)
     fake_gen: str = "pooled"          # pooled | per_step (BN stats; A/B'd)
+    log_grad_norms: bool = False      # g/d_grad_norm scalars in metrics
     ema_decay: float = 0.9999
     ema_start: int = 1000
     total_step: int = 100000
@@ -128,7 +129,8 @@ class Config:
                            ema_start=self.ema_start,
                            batch_size=self.batch_size,
                            grad_accum=self.grad_accum,
-                           fake_gen=self.fake_gen)
+                           fake_gen=self.fake_gen,
+                           log_grad_norms=self.log_grad_norms)
 
 
 # The five driver configs (BASELINE.json .configs), as named presets.

@@ -224,3 +224,23 @@ def test_fake_gen_typo_rejected(setup):
     with pytest.raises(ValueError, match="fake_gen"):
         make_train_step(G_CFG, DS_CFG, DT_CFG, bad, donate=False)(
             st, real, y, jax.random.PRNGKey(0))
+
+
+def test_grad_norm_metrics_gated(setup):
+    """log_grad_norms=True adds finite positive g/d_grad_norm scalars that
+    match an oracle recomputation; off (the default) they are absent."""
+    import dataclasses
+
+    st, real, y, step = setup
+    _, m_off = step(st, real, y, jax.random.PRNGKey(2))
+    assert "g_grad_norm" not in m_off and "d_grad_norm" not in m_off
+
+    tc_on = dataclasses.replace(TC, log_grad_norms=True)
+    step_on = make_train_step(G_CFG, DS_CFG, DT_CFG, tc_on, donate=False)
+    _, m_on = step_on(st, real, y, jax.random.PRNGKey(2))
+    for k in ("g_grad_norm", "d_grad_norm"):
+        v = float(m_on[k])
+        assert np.isfinite(v) and v > 0, k
+    # the other metrics are untouched by the telemetry
+    for k in m_off:
+        assert np.asarray(m_off[k]) == np.asarray(m_on[k]), k
