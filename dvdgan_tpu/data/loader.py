@@ -23,13 +23,24 @@ import numpy as np
 class Loader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True,
-                 prefetch: int = 2, num_threads: int = 2):
+                 prefetch: int = 2, num_threads: int = 2,
+                 rows: Optional[Tuple[int, int]] = None):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # rows: this process's [start, stop) slice of every GLOBAL batch
+        # (multi-host input sharding, parallel.local_batch_rows). The
+        # global shuffle/batch layout — a pure function of (seed, epoch) —
+        # is identical on every host; each host decodes only its rows, so
+        # pod-scale runs don't pay global-batch decode per host.
+        if rows is not None:
+            start, stop = rows
+            if not (0 <= start < stop <= batch_size):
+                raise ValueError(f"rows {rows} outside batch {batch_size}")
+        self.rows = rows
         self.num_threads = max(1, num_threads)
         # item decodes fan out over this pool (num_threads > 1); the decode
         # path (C++ clipops / PIL) releases the GIL, so threads give real
@@ -48,6 +59,8 @@ class Loader:
         return idx
 
     def _make_batch(self, indices) -> Tuple[np.ndarray, np.ndarray]:
+        if self.rows is not None:
+            indices = indices[self.rows[0]:self.rows[1]]
         if self._pool is not None:
             items = list(self._pool.map(self.ds.__getitem__,
                                         (int(i) for i in indices)))

@@ -67,6 +67,58 @@ def shard_batch_chunk(mesh: Mesh, clips: np.ndarray, labels: np.ndarray):
     return jax.device_put(clips, s), jax.device_put(labels, s)
 
 
+def local_batch_rows(mesh: Mesh, global_batch: int) -> Tuple[int, int]:
+    """The contiguous [start, stop) block of the global batch whose rows
+    live on THIS process's devices under `batch_sharding(mesh)`. The
+    multi-host input contract (SURVEY §5.8): every host computes the same
+    global shuffle (pure function of (seed, epoch)) but decodes only
+    these rows — `Loader(rows=...)` + `shard_batch_local` — instead of
+    materializing the full global batch per host."""
+    s = batch_sharding(mesh)
+    m = s.devices_indices_map((global_batch,))
+    mine = [idx[0] for d, idx in m.items()
+            if d.process_index == jax.process_index()]
+    if not mine:
+        raise ValueError("this process owns no devices in the mesh")
+    ranges = sorted({(sl.start or 0,
+                      global_batch if sl.stop is None else sl.stop)
+                     for sl in mine})
+    start, stop = ranges[0][0], ranges[-1][1]
+    pos = start
+    for a, b in ranges:   # replicated axes (e.g. time) repeat ranges —
+        if a > pos:       # fine; holes are not
+            raise ValueError(
+                f"process-local batch rows are not contiguous: {ranges} "
+                "(reorder the mesh so the data axis keeps process blocks "
+                "contiguous)")
+        pos = max(pos, b)
+    return start, stop
+
+
+def shard_batch_local(mesh: Mesh, clip: np.ndarray, labels: np.ndarray,
+                      global_batch: int):
+    """Process-LOCAL batch rows (`local_batch_rows`-sized) -> GLOBAL
+    batch-sharded device arrays. Multi-host sibling of `shard_batch`."""
+    s = batch_sharding(mesh)
+    return (jax.make_array_from_process_local_data(
+                s, clip, (global_batch,) + clip.shape[1:]),
+            jax.make_array_from_process_local_data(
+                s, labels, (global_batch,) + labels.shape[1:]))
+
+
+def shard_batch_chunk_local(mesh: Mesh, clips: np.ndarray,
+                            labels: np.ndarray, global_batch: int):
+    """Multi-host sibling of `shard_batch_chunk`: (steps_per_call,
+    local_rows, ...) -> global arrays with dim 1 sharded over `data`."""
+    s = NamedSharding(mesh, P(None, DATA_AXIS))
+    return (jax.make_array_from_process_local_data(
+                s, clips, clips.shape[:1] + (global_batch,)
+                + clips.shape[2:]),
+            jax.make_array_from_process_local_data(
+                s, labels, labels.shape[:1] + (global_batch,)
+                + labels.shape[2:]))
+
+
 def replicate_state(mesh: Mesh, state):
     return jax.device_put(state, replicated(mesh))
 

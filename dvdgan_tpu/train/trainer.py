@@ -48,7 +48,6 @@ class Trainer:
         self.writer = MetricWriter(os.path.join(self.out_dir, "logs"))
 
         self.dataset = self._build_dataset()
-        self.loader = Loader(self.dataset, cfg.batch_size, seed=cfg.seed)
         self.saver = ckpt.AsyncSaver() if cfg.async_save else None
 
         key = jax.random.PRNGKey(cfg.seed)
@@ -93,6 +92,16 @@ class Trainer:
             else:
                 self.step_fn = step_mod.make_train_step(
                     self.g_cfg, self.ds_cfg, self.dt_cfg, self.tc)
+
+        # multi-host input sharding: every process computes the same global
+        # shuffle but decodes ONLY the rows its devices own (pod-scale
+        # hosts don't pay global-batch decode); single-process loads all
+        self._local_rows = None
+        if self.mesh is not None and jax.process_count() > 1:
+            self._local_rows = parallel.local_batch_rows(self.mesh,
+                                                         cfg.batch_size)
+        self.loader = Loader(self.dataset, cfg.batch_size, seed=cfg.seed,
+                             rows=self._local_rows)
 
         # fixed eval latents/labels for comparable sample dumps over training
         kz, ky = jax.random.split(jax.random.PRNGKey(cfg.seed + 1))
@@ -195,7 +204,12 @@ class Trainer:
                 clip, labels = next(data)
                 clip = clip.astype(dtype)
                 if self.mesh is not None:
-                    real, y = parallel.shard_batch(self.mesh, clip, labels)
+                    if self._local_rows is not None:
+                        real, y = parallel.shard_batch_local(
+                            self.mesh, clip, labels, c.batch_size)
+                    else:
+                        real, y = parallel.shard_batch(self.mesh, clip,
+                                                       labels)
                 else:
                     real, y = jnp.asarray(clip), jnp.asarray(labels)
                 # per-step key from (seed, step): resume-stable streams
@@ -212,8 +226,12 @@ class Trainer:
                 clips = np.stack([b[0] for b in bs]).astype(dtype)
                 ys = np.stack([b[1] for b in bs])
                 if self.mesh is not None:
-                    real, y = parallel.shard_batch_chunk(self.mesh, clips,
-                                                         ys)
+                    if self._local_rows is not None:
+                        real, y = parallel.shard_batch_chunk_local(
+                            self.mesh, clips, ys, c.batch_size)
+                    else:
+                        real, y = parallel.shard_batch_chunk(self.mesh,
+                                                             clips, ys)
                 else:
                     real, y = jnp.asarray(clips), jnp.asarray(ys)
                 self.state, metrics = self.step_fn(

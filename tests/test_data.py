@@ -354,3 +354,43 @@ def test_npy_range_explicit_convention(tmp_path):
     with pytest.raises(ValueError, match="npy_range"):
         frames.FrameFolderDataset(str(tmp_path / "d"), 2, 8,
                                   npy_range="sym")
+
+
+def test_loader_rows_slices_global_batches():
+    """Loader(rows=(a,b)) yields exactly rows a:b of every GLOBAL batch:
+    two half-row loaders concatenate to the full loader's stream, across
+    epochs and with within-epoch resume (the multi-host input contract —
+    the shuffle is a pure function of (seed, epoch), so hosts agree on
+    the layout while decoding disjoint rows)."""
+    import numpy as np
+
+    from dvdgan_tpu.data import Loader, SyntheticVideoDataset
+
+    ds = SyntheticVideoDataset(n_items=12, n_frames=2, img_size=8,
+                               n_classes=3, seed=0)
+    full = Loader(ds, 4, seed=7, num_threads=1)
+    lo = Loader(ds, 4, seed=7, num_threads=1, rows=(0, 2))
+    hi = Loader(ds, 4, seed=7, num_threads=1, rows=(2, 4))
+    for epoch in (0, 1):
+        for (cf, yf), (ca, ya), (cb, yb) in zip(
+                full.epoch(epoch), lo.epoch(epoch), hi.epoch(epoch)):
+            assert ca.shape[0] == 2 and cb.shape[0] == 2
+            assert np.array_equal(cf, np.concatenate([ca, cb]))
+            assert np.array_equal(yf, np.concatenate([ya, yb]))
+    # within-epoch resume keeps the same row slicing
+    (cf, yf), (ca, ya) = (next(full.forever(start_epoch=1, start_batch=2)),
+                          next(lo.forever(start_epoch=1, start_batch=2)))
+    assert np.array_equal(cf[:2], ca) and np.array_equal(yf[:2], ya)
+
+
+def test_loader_rows_validation():
+    import pytest
+
+    from dvdgan_tpu.data import Loader, SyntheticVideoDataset
+
+    ds = SyntheticVideoDataset(n_items=8, n_frames=2, img_size=8,
+                               n_classes=2, seed=0)
+    with pytest.raises(ValueError, match="rows"):
+        Loader(ds, 4, rows=(2, 6))
+    with pytest.raises(ValueError, match="rows"):
+        Loader(ds, 4, rows=(3, 3))

@@ -208,3 +208,35 @@ def test_parallel_fp_step_runs_and_replicas_agree():
     shards = [np.asarray(s.data) for s in leaf.addressable_shards]
     for s in shards[1:]:
         assert np.array_equal(shards[0], s)
+
+
+def test_local_batch_rows_and_local_shard_equivalence():
+    """Single-process: local_batch_rows covers the full batch on both 1-D
+    and 2-D (time-replicated) meshes, and shard_batch_local assembles the
+    same global array as shard_batch."""
+    import numpy as np
+
+    from dvdgan_tpu import parallel
+
+    b = 8
+    clip = np.random.RandomState(0).randn(b, 2, 8, 8, 3).astype(np.float32)
+    y = (np.arange(b) % 3).astype(np.int32)
+    for mesh in (parallel.make_mesh(),
+                 parallel.make_mesh((2, 4), (parallel.TIME_AXIS,
+                                             parallel.DATA_AXIS))):
+        lo, hi = parallel.local_batch_rows(mesh, b)
+        assert (lo, hi) == (0, b)
+        a_clip, a_y = parallel.shard_batch(mesh, clip, y)
+        b_clip, b_y = parallel.shard_batch_local(mesh, clip[lo:hi],
+                                                 y[lo:hi], b)
+        assert np.array_equal(np.asarray(a_clip), np.asarray(b_clip))
+        assert np.array_equal(np.asarray(a_y), np.asarray(b_y))
+        assert a_clip.sharding.is_equivalent_to(b_clip.sharding, clip.ndim)
+    # chunked sibling: leading step axis unsharded, dim-1 batch sharded
+    mesh = parallel.make_mesh()
+    clips = np.stack([clip, clip + 1])
+    ys = np.stack([y, y])
+    a_c, a_l = parallel.shard_batch_chunk(mesh, clips, ys)
+    b_c, b_l = parallel.shard_batch_chunk_local(mesh, clips, ys, b)
+    assert np.array_equal(np.asarray(a_c), np.asarray(b_c))
+    assert np.array_equal(np.asarray(a_l), np.asarray(b_l))

@@ -1,12 +1,15 @@
 """Multi-host (multi-process) DP + CP smoke — SURVEY.md §5.8 / r1 §2.16.
 
 Forms a real 2-process jax.distributed cluster on localhost (CPU backend,
-2 virtual devices per process → a 4-device global mesh), then runs TWO
+2 virtual devices per process → a 4-device global mesh), then runs THREE
 shard_map'd train-step legs and checks the replicated state agrees
 bitwise across processes (printed digests):
 
   1. DP: 1-D data mesh — gradient pmean + cross-replica BN span the
      process boundary.
+  1b. DP with per-process input sharding: each process materializes only
+     its own batch rows (local_batch_rows + shard_batch_local — the
+     pod-scale input pipeline); must reproduce leg 1 bitwise.
   2. CP: 2-D (time=2 outer, data=2) mesh — `time` is the OUTER axis, so
      for a fixed data rank the two time shards live on DIFFERENT
      processes: DT's ppermute frame-halo exchange and the time-axis
@@ -52,21 +55,46 @@ def worker(pid: int) -> None:
     n = jax.device_count()          # 4 global (2 local per process)
     assert n == 4, n
 
+    # Establish the cross-process gloo context NOW, while both workers are
+    # in lockstep: a trivial all-device psum compiles in ~a second on both,
+    # so they reach the rendezvous together. Without this, the first
+    # worker to finish the multi-minute train-step compile (1 host core,
+    # cold cache) sits in gloo context init >30 s waiting for the other
+    # and the whole cluster tears down. (Belt: the launcher also raises
+    # --xla_cpu_collective_timeout_seconds for the compile-skew window.)
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+    import numpy as np_
+    wmesh = Mesh(np_.asarray(jax.devices()), ("d",))
+    ones = jax.device_put(
+        np_.ones((n,), np_.float32),
+        NamedSharding(wmesh, PartitionSpec("d")))
+    total = float(jax.jit(lambda x: x.sum())(ones))
+    assert total == n, total
+
     g_cfg = GConfig(img_size=32, n_frames=4, ch=8, z_dim=120, n_classes=5,
                     emb_dim=16, attn_res=16)
     ds_cfg = DSConfig(img_size=32, ch=8, n_classes=5, k_frames=2)
     dt_cfg = DTConfig(img_size=32, n_frames=4, ch=8, n_classes=5)
     tc = TrainConfig(d_steps=1, batch_size=n)
 
-    def run_leg(tag: str, mesh) -> None:
+    def run_leg(tag: str, mesh, local_input: bool = False) -> None:
         state = parallel.replicate_state(
             mesh, create(jax.random.PRNGKey(0), g_cfg, ds_cfg, dt_cfg, tc))
-        # every process materializes the same global batch; device_put with
-        # the batch sharding keeps only this process's shards locally
         rng = np.random.RandomState(0)
         real = rng.randn(tc.batch_size, 4, 32, 32, 3).astype(np.float32)
         y = (np.arange(tc.batch_size) % 5).astype(np.int32)
-        real_d, y_d = parallel.shard_batch(mesh, real, y)
+        if local_input:
+            # pod-scale input pipeline: this process materializes ONLY the
+            # rows its devices own (Loader(rows=...) contract); the global
+            # array is assembled from process-local shards. Must be
+            # bitwise-identical to the full-global-batch leg.
+            lo, hi = parallel.local_batch_rows(mesh, tc.batch_size)
+            real_d, y_d = parallel.shard_batch_local(
+                mesh, real[lo:hi], y[lo:hi], tc.batch_size)
+        else:
+            # every process materializes the same global batch; device_put
+            # with the batch sharding keeps only this process's shards
+            real_d, y_d = parallel.shard_batch(mesh, real, y)
 
         step = parallel.make_parallel_train_step(g_cfg, ds_cfg, dt_cfg, tc,
                                                  mesh)
@@ -84,6 +112,9 @@ def worker(pid: int) -> None:
               flush=True)
 
     run_leg("dp", parallel.make_mesh())
+    # same program + data, but each process feeds only its own batch rows
+    # (the multi-host input-sharding path): digest must equal dp's
+    run_leg("dplocal", parallel.make_mesh(), local_input=True)
     # time OUTER so each (data-rank) pair of time shards spans both
     # processes: the DT halo ppermute and time-score psum cross hosts
     run_leg("cp", parallel.make_mesh(
@@ -98,7 +129,9 @@ def main() -> None:
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
-                        + " --xla_force_host_platform_device_count=2").strip()
+                        + " --xla_force_host_platform_device_count=2"
+                        + " --xla_cpu_collective_timeout_seconds=900"
+                        ).strip()
     env["PYTHONPATH"] = repo
     procs = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "worker", str(i)],
@@ -117,16 +150,18 @@ def main() -> None:
         print("MULTIHOST-SMOKE-FAIL (timeout)")
         sys.exit(1)
     rcs = [p.returncode for p in procs]
-    digests: dict[str, list] = {"dp": [], "cp": []}
+    digests: dict[str, list] = {"dp": [], "dplocal": [], "cp": []}
     for i, out in enumerate(outs):
         print(f"--- worker {i} (rc={rcs[i]}) ---")
         print(out[-1500:])
         for line in out.splitlines():
             for tag in digests:
-                if f"params-digest-{tag}" in line:
+                if f"params-digest-{tag} " in line:
                     digests[tag].append(line.split()[-1])
     ok = rcs == [0, 0] and all(
         len(d) == 2 and d[0] == d[1] for d in digests.values())
+    # local-input leg must reproduce the full-global-batch leg bitwise
+    ok = ok and digests["dp"] and digests["dp"][0] == digests["dplocal"][0]
     print("MULTIHOST-SMOKE-" + ("OK" if ok else "FAIL"))
     sys.exit(0 if ok else 1)
 
