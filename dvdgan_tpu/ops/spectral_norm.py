@@ -94,6 +94,14 @@ def sigma_and_update(w: jax.Array, u: jax.Array, n_iter: int = 1):
     return sigma, u_next
 
 
+def sn_sigmas(params, sn_u: dict[str, jax.Array]) -> dict[str, jax.Array]:
+    """{path: σ estimate} for every spectrally-normalized kernel, from the
+    persistent u WITHOUT advancing it — the reference trainer's occasional
+    σ telemetry (SURVEY §2.15). Cheap: one matvec pair per kernel."""
+    flat = tru.flatten_with_paths(params)
+    return {p: sigma_and_update(flat[p], u)[0] for p, u in sn_u.items()}
+
+
 def sn_normalize(params, sn_u: dict[str, jax.Array], update: bool,
                  n_iter: int = 1, compute_dtype=None):
     """Return (params with matching kernels divided by σ, new {path: u}).

@@ -254,6 +254,8 @@ class Trainer:
                 lagged = (step, metrics)
             if c.sample_step and step % c.sample_step == 0:
                 self.dump_samples(step)
+                if c.log_sigmas:   # the reference's occasional σ/γ lines
+                    self.writer.scalars(self.sn_diagnostics(), step)
             if c.eval_step and step % c.eval_step == 0:
                 ev = self.evaluate()
                 self.writer.scalars(ev, step)
@@ -310,6 +312,32 @@ class Trainer:
             self, extractor, n_samples=n,
             batch_size=min(self.cfg.batch_size, n), classifier=clf,
             real_features=self._real_feats[ck])
+
+    def sn_diagnostics(self) -> dict:
+        """σ of every spectrally-normalized kernel (from the persistent u,
+        not advanced) + every attention γ — the reference trainer's
+        occasional TensorBoard telemetry (SURVEY §2.15). One small jitted
+        pass over the state; fired at --sample_step cadence when
+        --log_sigmas is on."""
+        from dvdgan_tpu.core import tree as tru
+        from dvdgan_tpu.ops import spectral_norm as sn
+
+        if not hasattr(self, "_diag_jit"):
+            def diag(state):
+                out = {}
+                for m in ("g", "ds", "dt"):
+                    sig = sn.sn_sigmas(state[m]["params"],
+                                       state[m]["sn_u"])
+                    out.update({f"sigma/{m}/{p}": v
+                                for p, v in sig.items()})
+                    flat = tru.flatten_with_paths(state[m]["params"])
+                    out.update({f"gamma/{m}/{p}": v
+                                for p, v in flat.items()
+                                if p.rsplit("/", 1)[-1] == "gamma"})
+                return out
+            self._diag_jit = jax.jit(diag)
+        return {k: float(v) for k, v in
+                jax.device_get(self._diag_jit(self.state)).items()}
 
     @staticmethod
     def _metrics_host(metrics) -> dict:

@@ -67,6 +67,8 @@ class Config:
     grad_accum: int = 1               # micro-batches per update (preset 4)
     fake_gen: str = "pooled"          # pooled | per_step (BN stats; A/B'd)
     log_grad_norms: bool = False      # g/d_grad_norm scalars in metrics
+    log_sigmas: bool = False          # per-kernel SN σ + attention γ
+    #                                   scalars at sample_step cadence
     ema_decay: float = 0.9999
     ema_start: int = 1000
     total_step: int = 100000

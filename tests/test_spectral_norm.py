@@ -76,3 +76,23 @@ def test_grad_flows_through_sigma():
     g_const_sigma = 2.0 * w / sigma**2
     assert not np.allclose(np.asarray(g), np.asarray(g_const_sigma), atol=1e-6)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_sn_sigmas_accuracy_and_no_update():
+    """sn_sigmas reports the converged power-iteration σ (vs numpy SVD)
+    without advancing u."""
+    import numpy as np
+
+    from dvdgan_tpu.ops import spectral_norm as sn
+
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(24, 6).astype(np.float32))
+    params = {"lin": {"w": w}}
+    u = sn.sn_init(jax.random.PRNGKey(1), params)
+    for _ in range(30):                      # converge the persistent u
+        _, u = sn.sn_normalize(params, u, update=True)
+    sig = sn.sn_sigmas(params, u)
+    true = float(np.linalg.svd(np.asarray(w), compute_uv=False)[0])
+    assert abs(float(sig["lin/w"]) - true) < 1e-3 * true
+    sig2 = sn.sn_sigmas(params, u)           # pure read: identical again
+    assert float(sig2["lin/w"]) == float(sig["lin/w"])

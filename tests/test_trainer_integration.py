@@ -140,3 +140,26 @@ def test_time_shards_over_devices_rejected(tmp_path):
                  out_dir=str(tmp_path / "ts"))
     with pytest.raises(ValueError, match="time_shards"):
         Trainer(cfg)
+
+
+def test_sn_diagnostics_keys(tmp_path):
+    """Trainer.sn_diagnostics surfaces per-kernel σ (≈1 at orthogonal
+    init) and attention γ (0 at init) for all three models — the
+    reference's occasional σ/γ telemetry (SURVEY §2.15)."""
+    from dvdgan_tpu.train.trainer import Trainer
+    from dvdgan_tpu.utils.config import Config
+
+    cfg = Config(dataset="synthetic", n_classes=3, img_size=32, n_frames=4,
+                 ch=8, d_ch=8, k_frames=2, batch_size=2, d_steps=1,
+                 total_step=0, bf16=False, log_sigmas=True, attn_res=16,
+                 out_dir=str(tmp_path / "run"))
+    tr = Trainer(cfg)
+    d = tr.sn_diagnostics()
+    tr.close()
+    models = {k.split("/")[1] for k in d if k.startswith("sigma/")}
+    assert models == {"g", "ds", "dt"}
+    gammas = [v for k, v in d.items() if k.startswith("gamma/")]
+    assert gammas and all(v == 0.0 for v in gammas)
+    convs = [v for k, v in d.items()
+             if k.startswith("sigma/") and k.endswith("/w")]
+    assert convs and all(abs(v - 1.0) < 0.05 for v in convs)
