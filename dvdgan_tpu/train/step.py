@@ -224,7 +224,11 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
     # exchange needs full-res shards): real and all d_steps fake clips
     # are pooled once here; dt_score gets pooled=True below. No gradient
     # flows through these pools (real is data, fakes are stop_gradient'd).
-    pre_pooled = time_axis is None
+    # DVDGAN_DT_PREPOOL=off restores per-forward pooling (A/B knob; the
+    # math is identical either way — this is purely a scheduling choice).
+    from dvdgan_tpu.ops.layers import env_choice
+    pre_pooled = time_axis is None and env_choice(
+        "DVDGAN_DT_PREPOOL", "on", ("on", "off")) == "on"
     if pre_pooled:
         real_dt = resize.avg_pool_2x_video(real)
         fake_all_dt = resize.avg_pool_2x_video(fake_all)
