@@ -300,8 +300,10 @@ class Trainer:
         n = min(n_samples if n_samples is not None
                 else self.cfg.eval_samples, len(self.dataset))
         # the real side is fixed for the life of the run (same dataset,
-        # same extractor): embed it once, reuse across --eval_step evals
-        ck = (id(extractor), n)
+        # same extractor): embed it once, reuse across --eval_step evals.
+        # Keyed on the extractor OBJECT (identity hash — also pins it
+        # against GC; an id() key could be recycled to a new extractor)
+        ck = (extractor, n)
         if not hasattr(self, "_real_feats"):
             self._real_feats = {}
         if ck not in self._real_feats:
