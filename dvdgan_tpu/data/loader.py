@@ -40,6 +40,12 @@ class Loader:
             start, stop = rows
             if not (0 <= start < stop <= batch_size):
                 raise ValueError(f"rows {rows} outside batch {batch_size}")
+            if not drop_last:
+                # a short final batch would slice to fewer (or zero) rows
+                # on some hosts — desynced multi-host shapes at the next
+                # collective. Refuse instead.
+                raise ValueError("rows= (multi-host input sharding) "
+                                 "requires drop_last=True")
         self.rows = rows
         self.num_threads = max(1, num_threads)
         # item decodes fan out over this pool (num_threads > 1); the decode

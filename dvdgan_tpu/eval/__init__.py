@@ -8,5 +8,5 @@ from dvdgan_tpu.eval.features import (  # noqa: F401
 from dvdgan_tpu.eval.frechet import (  # noqa: F401
     frechet_distance, frechet_from_features, statistics)
 from dvdgan_tpu.eval.metrics import (  # noqa: F401
-    compute_real_features, evaluate_generator, extract_features, fid, fvd,
-    inception_score, load_or_compute_real_stats)
+    compute_real_features, evaluate_generator, extract_features, fid,
+    file_stamp, fvd, inception_score, load_or_compute_real_stats)

@@ -94,6 +94,17 @@ def compute_real_features(ds, extractor: Callable, n: int,
             else None)
 
 
+def file_stamp(path: Optional[str]) -> str:
+    """Identity stamp for a weights file (basename:size:mtime_ns) for
+    real-stats cache metadata — a replaced/reconverted weights npz changes
+    the feature space, so it must invalidate the cache."""
+    import os
+    if not path:
+        return "none"
+    st = os.stat(path)
+    return f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}"
+
+
 def load_or_compute_real_stats(path: str, ds, extractor: Callable, n: int,
                                batch_size: int = 16,
                                frame_extractor: Optional[Callable] = None,
@@ -107,16 +118,16 @@ def load_or_compute_real_stats(path: str, ds, extractor: Callable, n: int,
     import os
     meta = meta or {}
     if os.path.exists(path):
-        z = np.load(path, allow_pickle=False)
-        for k, v in meta.items():
-            got = str(z[f"meta_{k}"]) if f"meta_{k}" in z else "<absent>"
-            if got != str(v):
-                raise ValueError(f"real-stats {k} mismatch at {path}: "
-                                 f"cache has {got!r}, this run wants {v!r}")
-        rff = z["frame_feats"] if "frame_feats" in z else None
-        if rff is not None and rff.ndim == 0:   # saved None placeholder
-            rff = None
-        return z["feats"], rff
+        with np.load(path, allow_pickle=False) as z:
+            for k, v in meta.items():
+                got = (str(z[f"meta_{k}"]) if f"meta_{k}" in z
+                       else "<absent>")
+                if got != str(v):
+                    raise ValueError(
+                        f"real-stats {k} mismatch at {path}: cache has "
+                        f"{got!r}, this run wants {v!r}")
+            rff = z["frame_feats"] if "frame_feats" in z else None
+            return z["feats"], rff
     rf, rff = compute_real_features(ds, extractor, n, batch_size=batch_size,
                                     frame_extractor=frame_extractor)
     arrays = {"feats": rf}
@@ -162,10 +173,19 @@ def evaluate_generator(trainer, extractor: Callable, n_samples: int = 256,
                 f"real_features has {real_features[0].shape[0]} clips but "
                 f"this evaluation uses {n} — recompute the cache")
 
-    # ONE decode per real clip: each batch is loaded once and feeds the
-    # video extractor, the frame extractor AND (in prediction mode) the
-    # conditioning prefixes — decoding is the host bottleneck at 256px/48f
-    # and the naive per-consumer generator ran it 2-3x per clip.
+    # Real side. Synthesis mode: reals are features-only, so either take
+    # the caller's precomputed set or compute it up front (identical
+    # decode count). Prediction mode: reals also feed the conditioning
+    # prefixes, so they're decoded inside the fake loop — ONE decode per
+    # clip shared between features and conditioning (decode is the host
+    # bottleneck at 256px/48f) — and embedded there unless cached.
+    inline_real = real_features is None and cf > 0
+    if real_features is not None:
+        rf, rff = real_features
+    elif not inline_real:
+        rf, rff = compute_real_features(ds, extractor, n,
+                                        batch_size=batch_size,
+                                        frame_extractor=frame_extractor)
     real_feats = []
     real_frame_feats = []
     fake_feats = []
@@ -175,19 +195,17 @@ def evaluate_generator(trainer, extractor: Callable, n_samples: int = 256,
     done = 0
     while done < n:
         b = min(batch_size, n - done)
-        if real_features is None or cf:
+        key, kz, ky = jax.random.split(key, 3)
+        z = jax.random.normal(kz, (b, trainer.g_cfg.z_dim))
+        if cf:
             items = [ds[done + j] for j in range(b)]   # ONE __getitem__
             #                                 (and hence one decode) each
             reals = np.stack([np.asarray(c, np.float32) for c, _ in items])
             yy = np.asarray([lbl for _, lbl in items], np.int32)
-        if real_features is None:
-            real_feats.append(extractor(reals))
-            if frame_extractor is not None:
-                real_frame_feats.append(frame_extractor(reals))
-
-        key, kz, ky = jax.random.split(key, 3)
-        z = jax.random.normal(kz, (b, trainer.g_cfg.z_dim))
-        if cf:
+            if inline_real:
+                real_feats.append(extractor(reals))
+                if frame_extractor is not None:
+                    real_frame_feats.append(frame_extractor(reals))
             cond = jnp.asarray(reals[:, :cf])
             gen = np.asarray(jax.device_get(
                 trainer.sample(z, jnp.asarray(yy), cond=cond)), np.float32)
@@ -209,9 +227,7 @@ def evaluate_generator(trainer, extractor: Callable, n_samples: int = 256,
             else:
                 probs.append(classifier(fake))
         done += b
-    if real_features is not None:
-        rf, rff = real_features
-    else:
+    if inline_real:
         rf = np.concatenate(real_feats)
         rff = (np.concatenate(real_frame_feats)
                if frame_extractor is not None else None)

@@ -191,86 +191,90 @@ class Trainer:
                              f"multiple of steps_per_call {K}")
         prof_start = self.start_step + K * max(1, 10 // K)
         prof_stop = prof_start + K * max(1, 5 // K)
-        for i in range(self.start_step, total, K):
-            if c.profile and i == prof_start:
-                jax.profiler.start_trace(os.path.join(self.out_dir, "trace"))
-            if c.profile and i == prof_stop:
-                # true device barrier: fetch a scalar — block_until_ready
-                # does NOT synchronize through the axon tunnel (CLAUDE.md),
-                # which would truncate the trace mid-step
-                self._metrics_host(metrics)
-                jax.profiler.stop_trace()
-            if K == 1:
-                clip, labels = next(data)
-                clip = clip.astype(dtype)
-                if self.mesh is not None:
-                    if self._local_rows is not None:
-                        real, y = parallel.shard_batch_local(
-                            self.mesh, clip, labels, c.batch_size)
+        try:
+            for i in range(self.start_step, total, K):
+                if c.profile and i == prof_start:
+                    jax.profiler.start_trace(os.path.join(self.out_dir, "trace"))
+                if c.profile and i == prof_stop:
+                    # true device barrier: fetch a scalar — block_until_ready
+                    # does NOT synchronize through the axon tunnel (CLAUDE.md),
+                    # which would truncate the trace mid-step
+                    self._metrics_host(metrics)
+                    jax.profiler.stop_trace()
+                if K == 1:
+                    clip, labels = next(data)
+                    clip = clip.astype(dtype)
+                    if self.mesh is not None:
+                        if self._local_rows is not None:
+                            real, y = parallel.shard_batch_local(
+                                self.mesh, clip, labels, c.batch_size)
+                        else:
+                            real, y = parallel.shard_batch(self.mesh, clip,
+                                                           labels)
                     else:
-                        real, y = parallel.shard_batch(self.mesh, clip,
-                                                       labels)
+                        real, y = jnp.asarray(clip), jnp.asarray(labels)
+                    # per-step key from (seed, step): resume-stable streams
+                    key = jax.random.fold_in(jax.random.PRNGKey(c.seed), i)
+                    self.state, metrics = self.step_fn(self.state, real, y, key)
                 else:
-                    real, y = jnp.asarray(clip), jnp.asarray(labels)
-                # per-step key from (seed, step): resume-stable streams
-                key = jax.random.fold_in(jax.random.PRNGKey(c.seed), i)
-                self.state, metrics = self.step_fn(self.state, real, y, key)
-            else:
-                # chunked stepping: K batches, ONE dispatch; per-step keys
-                # fold_in(seed, step) are derived on-device inside the
-                # scan (host-side key building / metric slicing would cost
-                # one tunnel round-trip per step — the very overhead being
-                # amortized). `metrics` stays a stacked device tree until
-                # a log boundary actually reads it.
-                bs = [next(data) for _ in range(K)]
-                clips = np.stack([b[0] for b in bs]).astype(dtype)
-                ys = np.stack([b[1] for b in bs])
-                if self.mesh is not None:
-                    if self._local_rows is not None:
-                        real, y = parallel.shard_batch_chunk_local(
-                            self.mesh, clips, ys, c.batch_size)
+                    # chunked stepping: K batches, ONE dispatch; per-step keys
+                    # fold_in(seed, step) are derived on-device inside the
+                    # scan (host-side key building / metric slicing would cost
+                    # one tunnel round-trip per step — the very overhead being
+                    # amortized). `metrics` stays a stacked device tree until
+                    # a log boundary actually reads it.
+                    bs = [next(data) for _ in range(K)]
+                    clips = np.stack([b[0] for b in bs]).astype(dtype)
+                    ys = np.stack([b[1] for b in bs])
+                    if self.mesh is not None:
+                        if self._local_rows is not None:
+                            real, y = parallel.shard_batch_chunk_local(
+                                self.mesh, clips, ys, c.batch_size)
+                        else:
+                            real, y = parallel.shard_batch_chunk(self.mesh,
+                                                                 clips, ys)
                     else:
-                        real, y = parallel.shard_batch_chunk(self.mesh,
-                                                             clips, ys)
-                else:
-                    real, y = jnp.asarray(clips), jnp.asarray(ys)
-                self.state, metrics = self.step_fn(
-                    self.state, real, y, base_key,
-                    jnp.asarray(i, jnp.int32))
+                        real, y = jnp.asarray(clips), jnp.asarray(ys)
+                    self.state, metrics = self.step_fn(
+                        self.state, real, y, base_key,
+                        jnp.asarray(i, jnp.int32))
 
-            step = i + K
-            if step % c.log_step == 0:
-                report_step, report = lagged if lagged is not None \
-                    else (step, metrics)
-                m = self._metrics_host(report)
-                dt = time.time() - t_last
-                sps = c.log_step / dt if dt > 0 else 0.0
-                t_last = time.time()
-                # both curves at report_step: the sps window just measured
-                # ends at the lagged step's device completion
-                self.writer.scalars(m, report_step)
-                self.writer.scalar("steps_per_sec", sps, report_step)
-                print(step_line(report_step, m, sps))
-                lagged = (step, metrics)
-            if c.sample_step and step % c.sample_step == 0:
-                self.dump_samples(step)
-                if c.log_sigmas:   # the reference's occasional σ/γ lines
-                    self.writer.scalars(self.sn_diagnostics(), step)
-            if c.eval_step and step % c.eval_step == 0:
-                ev = self.evaluate()
-                self.writer.scalars(ev, step)
-                print(f"eval @ {step}: " + " ".join(
-                    f"{k} {v:.4f}" for k, v in ev.items()))
-            if c.model_save_step and step % c.model_save_step == 0:
-                if self.saver is not None:
-                    self.saver.save(self.ckpt_dir, step, self.state,
-                                    max_to_keep=c.keep_checkpoints or None)
-                else:
-                    ckpt.save(self.ckpt_dir, step,
-                              jax.device_get(self.state),
-                              max_to_keep=c.keep_checkpoints or None)
-        if self.saver is not None:   # final checkpoint must be durable
-            self.saver.wait()        # before the process can exit
+                step = i + K
+                if step % c.log_step == 0:
+                    report_step, report = lagged if lagged is not None \
+                        else (step, metrics)
+                    m = self._metrics_host(report)
+                    dt = time.time() - t_last
+                    sps = c.log_step / dt if dt > 0 else 0.0
+                    t_last = time.time()
+                    # both curves at report_step: the sps window just measured
+                    # ends at the lagged step's device completion
+                    self.writer.scalars(m, report_step)
+                    self.writer.scalar("steps_per_sec", sps, report_step)
+                    print(step_line(report_step, m, sps))
+                    lagged = (step, metrics)
+                if c.sample_step and step % c.sample_step == 0:
+                    self.dump_samples(step)
+                    if c.log_sigmas:   # the reference's occasional σ/γ lines
+                        self.writer.scalars(self.sn_diagnostics(), step)
+                if c.eval_step and step % c.eval_step == 0:
+                    ev = self.evaluate()
+                    self.writer.scalars(ev, step)
+                    print(f"eval @ {step}: " + " ".join(
+                        f"{k} {v:.4f}" for k, v in ev.items()))
+                if c.model_save_step and step % c.model_save_step == 0:
+                    if self.saver is not None:
+                        self.saver.save(self.ckpt_dir, step, self.state,
+                                        max_to_keep=c.keep_checkpoints or None)
+                    else:
+                        ckpt.save(self.ckpt_dir, step,
+                                  jax.device_get(self.state),
+                                  max_to_keep=c.keep_checkpoints or None)
+        finally:
+            # the in-flight async checkpoint must be durable before
+            # train() returns OR unwinds (a daemon writer thread
+            # dies with the process; the sync path always finished)
+            self._flush_saver()
         if lagged is not None:   # final interval's metrics, never yet written
             lstep, lmetrics = lagged
             self.writer.scalars(self._metrics_host(lmetrics), lstep)
@@ -314,6 +318,21 @@ class Trainer:
             self, extractor, n_samples=n,
             batch_size=min(self.cfg.batch_size, n), classifier=clf,
             real_features=self._real_feats[ck])
+
+    def _flush_saver(self):
+        """Join the in-flight async checkpoint write. On the normal path a
+        background failure propagates; during exception unwinding it is
+        printed instead (it must not mask the original error)."""
+        if self.saver is None:
+            return
+        import sys
+        if sys.exc_info()[0] is None:
+            self.saver.wait()
+        else:
+            try:
+                self.saver.wait()
+            except Exception as e:
+                print(f"async checkpoint flush failed during teardown: {e}")
 
     def sn_diagnostics(self) -> dict:
         """σ of every spectrally-normalized kernel (from the persistent u,

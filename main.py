@@ -88,16 +88,23 @@ def main(argv=None):
                 clf = I3DClassifierProbs(feature_extractor=fx)
             real_features = None
             if cfg.real_stats:
-                from dvdgan_tpu.eval import load_or_compute_real_stats
+                from dvdgan_tpu.eval import (file_stamp,
+                                             load_or_compute_real_stats)
                 n = min(cfg.n_samples, len(trainer.dataset))
                 meta = {
                     "dataset": cfg.dataset, "data_path": cfg.data_path,
+                    "npy_range": cfg.npy_range,
                     "img_size": cfg.img_size, "n_frames": cfg.n_frames,
                     "n": n,
                     "extractor": ("i3d-kinetics400" if fx.pretrained
                                   else "i3d-random-init"),
+                    # weight-FILE identity too: a reconverted/replaced npz
+                    # is a different feature space with the same tag
+                    "extractor_weights": file_stamp(cfg.i3d_weights),
                     "frame_extractor": ("inception-v3" if fx2d.pretrained
                                         else "inception-v3-random-init"),
+                    "frame_extractor_weights": file_stamp(
+                        cfg.inception_weights),
                 }
                 real_features = load_or_compute_real_stats(
                     cfg.real_stats, trainer.dataset, fx, n,

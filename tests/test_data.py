@@ -394,3 +394,16 @@ def test_loader_rows_validation():
         Loader(ds, 4, rows=(2, 6))
     with pytest.raises(ValueError, match="rows"):
         Loader(ds, 4, rows=(3, 3))
+
+
+def test_loader_rows_requires_drop_last():
+    """rows= with drop_last=False would yield short/empty per-host slices
+    on the final batch (multi-host shape desync) — refused loudly."""
+    import pytest
+
+    from dvdgan_tpu.data import Loader, SyntheticVideoDataset
+
+    ds = SyntheticVideoDataset(n_items=6, n_frames=2, img_size=8,
+                               n_classes=2, seed=0)
+    with pytest.raises(ValueError, match="drop_last"):
+        Loader(ds, 4, drop_last=False, rows=(0, 2))

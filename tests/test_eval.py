@@ -335,3 +335,33 @@ def test_load_or_compute_real_stats_roundtrip(tmp_path):
     rf4, rff4 = load_or_compute_real_stats(path2, Poison(), fx, 6,
                                            batch_size=3, meta=meta)
     assert np.array_equal(rff3, rff4)
+
+
+def test_file_stamp_invalidates_real_stats(tmp_path):
+    """Replacing a weights file (same tag) must invalidate a real-stats
+    cache keyed on its file_stamp."""
+    import time
+
+    import numpy as np
+    import pytest
+
+    from dvdgan_tpu.data import SyntheticVideoDataset
+    from dvdgan_tpu.eval import file_stamp, load_or_compute_real_stats
+
+    assert file_stamp("") == "none" and file_stamp(None) == "none"
+    w = tmp_path / "weights.npz"
+    np.savez(w, a=np.zeros(3))
+    ds = SyntheticVideoDataset(n_items=8, n_frames=4, img_size=32,
+                               n_classes=3, seed=0)
+    fx = I3DLikeFeatures(seed=0, widths=(8, 16))
+    stats = str(tmp_path / "stats.npz")
+    meta = {"extractor_weights": file_stamp(str(w))}
+    load_or_compute_real_stats(stats, ds, fx, 4, batch_size=2, meta=meta)
+    # same stamp: loads fine
+    load_or_compute_real_stats(stats, ds, fx, 4, batch_size=2, meta=meta)
+    time.sleep(0.01)
+    np.savez(w, a=np.ones(4))   # replaced file -> new stamp
+    with pytest.raises(ValueError, match="extractor_weights mismatch"):
+        load_or_compute_real_stats(
+            stats, ds, fx, 4, batch_size=2,
+            meta={"extractor_weights": file_stamp(str(w))})
