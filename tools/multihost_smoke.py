@@ -1,7 +1,7 @@
 """Multi-host (multi-process) DP + CP smoke — SURVEY.md §5.8 / r1 §2.16.
 
 Forms a real 2-process jax.distributed cluster on localhost (CPU backend,
-2 virtual devices per process → a 4-device global mesh), then runs THREE
+2 virtual devices per process → a 4-device global mesh), then runs FOUR
 shard_map'd train-step legs and checks the replicated state agrees
 bitwise across processes (printed digests):
 
@@ -10,6 +10,9 @@ bitwise across processes (printed digests):
   1b. DP with per-process input sharding: each process materializes only
      its own batch rows (local_batch_rows + shard_batch_local — the
      pod-scale input pipeline); must reproduce leg 1 bitwise.
+  1c. DP chunked stepping: K=2 scanned steps per dispatch with
+     per-process (K, local_rows, …) chunk assembly — the pod deployment
+     shape of --steps_per_call.
   2. CP: 2-D (time=2 outer, data=2) mesh — `time` is the OUTER axis, so
      for a fixed data rank the two time shards live on DIFFERENT
      processes: DT's ppermute frame-halo exchange and the time-axis
@@ -115,6 +118,35 @@ def worker(pid: int) -> None:
     # same program + data, but each process feeds only its own batch rows
     # (the multi-host input-sharding path): digest must equal dp's
     run_leg("dplocal", parallel.make_mesh(), local_input=True)
+
+    # chunked stepping across processes: K=2 scanned steps per dispatch,
+    # (K, local_rows, ...) chunks assembled per process — the pod-scale
+    # deployment shape (--steps_per_call on a multi-host mesh)
+    def run_chunk_leg() -> None:
+        mesh = parallel.make_mesh()
+        state = parallel.replicate_state(
+            mesh, create(jax.random.PRNGKey(0), g_cfg, ds_cfg, dt_cfg, tc))
+        rng = np.random.RandomState(0)
+        reals = rng.randn(2, tc.batch_size, 4, 32, 32, 3).astype(np.float32)
+        ys = np.stack([(np.arange(tc.batch_size) % 5).astype(np.int32)] * 2)
+        lo, hi = parallel.local_batch_rows(mesh, tc.batch_size)
+        r_d, y_d = parallel.shard_batch_chunk_local(
+            mesh, reals[:, lo:hi], ys[:, lo:hi], tc.batch_size)
+        step = parallel.make_parallel_train_step(
+            g_cfg, ds_cfg, dt_cfg, tc, mesh, steps_per_call=2)
+        state, metrics = step(state, r_d, y_d, jax.random.PRNGKey(1),
+                              jnp.asarray(0, jnp.int32))
+        m = {k: float(np.asarray(v)[-1]) for k, v in metrics.items()}
+        assert all(np.isfinite(v) for v in m.values()), m
+        assert int(state["step"]) == 2
+        leaves = jax.tree.leaves(jax.device_get(state["g"]["params"]))
+        digest = hashlib.sha256(
+            b"".join(np.ascontiguousarray(l).tobytes() for l in leaves)
+        ).hexdigest()[:16]
+        print(f"proc {pid}: [chunk] metrics {m} params-digest-chunk "
+              f"{digest}", flush=True)
+
+    run_chunk_leg()
     # time OUTER so each (data-rank) pair of time shards spans both
     # processes: the DT halo ppermute and time-score psum cross hosts
     run_leg("cp", parallel.make_mesh(
@@ -150,7 +182,8 @@ def main() -> None:
         print("MULTIHOST-SMOKE-FAIL (timeout)")
         sys.exit(1)
     rcs = [p.returncode for p in procs]
-    digests: dict[str, list] = {"dp": [], "dplocal": [], "cp": []}
+    digests: dict[str, list] = {"dp": [], "dplocal": [], "cp": [],
+                                "chunk": []}
     for i, out in enumerate(outs):
         print(f"--- worker {i} (rc={rcs[i]}) ---")
         print(out[-1500:])
