@@ -240,3 +240,51 @@ def test_local_batch_rows_and_local_shard_equivalence():
     b_c, b_l = parallel.shard_batch_chunk_local(mesh, clips, ys, b)
     assert np.array_equal(np.asarray(a_c), np.asarray(b_c))
     assert np.array_equal(np.asarray(a_l), np.asarray(b_l))
+
+
+def test_time_cp_fp_matches_data_parallel_only():
+    """DVD-GAN-FP on the 2-D (2 data × 2 time) mesh == the 2-device
+    data-only mesh: the time-sharded DT consumes the FULL clip (real cond
+    prefix + generated continuation) across the time shards, and the
+    frame-encoder/warm-up gradients survive the extra pmean axis."""
+    devs = jax.devices()
+    fp_g = GConfig(img_size=32, n_frames=2, ch=8, z_dim=120, n_classes=5,
+                   emb_dim=16, attn_res=16, cond_frames=2)
+    fp_ds = DSConfig(img_size=32, ch=8, n_classes=5, k_frames=2)
+    st0 = create(jax.random.PRNGKey(0), fp_g, fp_ds, DT_CFG, TC)
+    rng = np.random.RandomState(2)
+    real = rng.randn(2, 4, 32, 32, 3).astype(np.float32)  # 2 cond + 2 gen
+    y = (np.arange(2) % 5).astype(np.int32)
+
+    mesh1 = make_mesh(devices=devs[:2])
+    st1 = replicate_state(mesh1, st0)
+    step1 = make_parallel_train_step(fp_g, fp_ds, DT_CFG, TC, mesh1,
+                                     donate=False)
+    r1, y1 = shard_batch(mesh1, real, y)
+    st1, m1 = step1(st1, r1, y1, jax.random.PRNGKey(3))
+
+    mesh2 = make_mesh((2, 2), ("data", "time"), devices=devs[:4])
+    st2 = replicate_state(mesh2, st0)
+    step2 = make_parallel_train_step(fp_g, fp_ds, DT_CFG, TC, mesh2,
+                                     donate=False)
+    r2, y2 = shard_batch(mesh2, real, y)
+    st2, m2 = step2(st2, r2, y2, jax.random.PRNGKey(3))
+
+    assert abs(float(m1["d_loss"]) - float(m2["d_loss"])) < 1e-4
+    assert abs(float(m1["g_loss"]) - float(m2["g_loss"])) < 1e-4
+    # encoder grads flowed on the 2-D mesh
+    enc_before = jax.tree.leaves(jax.device_get(st0["g"]["params"]
+                                                ["fp_enc"]))[0]
+    enc_after = jax.tree.leaves(jax.device_get(st2["g"]["params"]
+                                               ["fp_enc"]))[0]
+    assert not np.allclose(np.asarray(enc_before), np.asarray(enc_after))
+    for name in ("g", "ds", "dt"):
+        flat, _ = jax.tree_util.tree_flatten_with_path(
+            jax.device_get(st1[name]["params"]))
+        other = jax.tree.leaves(jax.device_get(st2[name]["params"]))
+        for (path, la), lb in zip(flat, other):
+            is_bias = jax.tree_util.keystr(path).endswith("['b']")
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(lb),
+                atol=3e-4 if is_bias else 5e-5, rtol=1e-4,
+                err_msg=f"{name}{jax.tree_util.keystr(path)}")
