@@ -133,8 +133,15 @@ def load_or_compute_real_stats(path: str, ds, extractor: Callable, n: int,
     arrays = {"feats": rf}
     if rff is not None:
         arrays["frame_feats"] = rff
-    np.savez(path, **arrays,
+    tmp = path + ".tmp"
+    np.savez(tmp, **arrays,
              **{f"meta_{k}": str(v) for k, v in meta.items()})
+    # np.savez appends .npz to pathless-suffix names; normalize then
+    # publish atomically — an interrupted run must leave NO file at
+    # `path` (a truncated zip would make every later eval crash in
+    # np.load instead of recomputing)
+    written = tmp if os.path.exists(tmp) else tmp + ".npz"
+    os.replace(written, path)
     return rf, rff
 
 

@@ -92,10 +92,14 @@ class AsyncSaver:
     def wait(self) -> None:
         """Block until the in-flight write (if any) finishes; re-raise its
         failure. Call after the train loop so the final checkpoint is
-        durable before the process exits."""
-        t, self._thread = self._thread, None
+        durable before the process exits. The thread slot is cleared only
+        AFTER a successful join — a KeyboardInterrupt mid-join leaves the
+        write tracked, so a retrying caller still awaits it instead of
+        racing a second write against the orphan."""
+        t = self._thread
         if t is not None:
             t.join()
+            self._thread = None
         if self._error is not None:
             err, self._error = self._error, None
             raise RuntimeError("async checkpoint save failed") from err

@@ -270,11 +270,17 @@ class Trainer:
                         ckpt.save(self.ckpt_dir, step,
                                   jax.device_get(self.state),
                                   max_to_keep=c.keep_checkpoints or None)
-        finally:
-            # the in-flight async checkpoint must be durable before
-            # train() returns OR unwinds (a daemon writer thread
-            # dies with the process; the sync path always finished)
-            self._flush_saver()
+        except BaseException:
+            # flush on unwind too (a daemon writer thread dies with the
+            # process; the sync path always finished) — but a flush
+            # failure here must not mask the propagating error
+            self._flush_saver(unwinding=True)
+            raise
+        # normal completion: the final checkpoint must be durable and a
+        # failed write must FAIL the run (explicit flag, not
+        # sys.exc_info() sniffing — train() may legitimately be called
+        # from inside an except handler, e.g. a preemption-retry wrapper)
+        self._flush_saver(unwinding=False)
         if lagged is not None:   # final interval's metrics, never yet written
             lstep, lmetrics = lagged
             self.writer.scalars(self._metrics_host(lmetrics), lstep)
@@ -319,20 +325,20 @@ class Trainer:
             batch_size=min(self.cfg.batch_size, n), classifier=clf,
             real_features=self._real_feats[ck])
 
-    def _flush_saver(self):
+    def _flush_saver(self, unwinding: bool = False):
         """Join the in-flight async checkpoint write. On the normal path a
-        background failure propagates; during exception unwinding it is
-        printed instead (it must not mask the original error)."""
+        background failure propagates; with unwinding=True (called from an
+        except block) it is printed instead, so it cannot mask the
+        original error."""
         if self.saver is None:
             return
-        import sys
-        if sys.exc_info()[0] is None:
+        if not unwinding:
             self.saver.wait()
-        else:
-            try:
-                self.saver.wait()
-            except Exception as e:
-                print(f"async checkpoint flush failed during teardown: {e}")
+            return
+        try:
+            self.saver.wait()
+        except Exception as e:
+            print(f"async checkpoint flush failed during teardown: {e}")
 
     def sn_diagnostics(self) -> dict:
         """σ of every spectrally-normalized kernel (from the persistent u,

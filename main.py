@@ -86,6 +86,12 @@ def main(argv=None):
                 # published Kinetics IS = softmax of I3D K-400 logits;
                 # shares params with fx so no second I3D lives on-device
                 clf = I3DClassifierProbs(feature_extractor=fx)
+            # one source of truth for the identity tags: they key BOTH the
+            # real-stats cache invalidation and the output JSON labels
+            fx_tag = ("i3d-kinetics400" if fx.pretrained
+                      else "i3d-random-init")
+            fx2d_tag = ("inception-v3" if fx2d.pretrained
+                        else "inception-v3-random-init")
             real_features = None
             if cfg.real_stats:
                 from dvdgan_tpu.eval import (file_stamp,
@@ -94,15 +100,17 @@ def main(argv=None):
                 meta = {
                     "dataset": cfg.dataset, "data_path": cfg.data_path,
                     "npy_range": cfg.npy_range,
+                    # seed: both dataset flavors draw clip content /
+                    # window sampling from it — different seed, different
+                    # real distribution
+                    "seed": cfg.seed, "n_classes": cfg.n_classes,
                     "img_size": cfg.img_size, "n_frames": cfg.n_frames,
                     "n": n,
-                    "extractor": ("i3d-kinetics400" if fx.pretrained
-                                  else "i3d-random-init"),
+                    "extractor": fx_tag,
                     # weight-FILE identity too: a reconverted/replaced npz
                     # is a different feature space with the same tag
                     "extractor_weights": file_stamp(cfg.i3d_weights),
-                    "frame_extractor": ("inception-v3" if fx2d.pretrained
-                                        else "inception-v3-random-init"),
+                    "frame_extractor": fx2d_tag,
                     "frame_extractor_weights": file_stamp(
                         cfg.inception_weights),
                 }
@@ -114,16 +122,14 @@ def main(argv=None):
             out = evaluate_generator(trainer, fx, n_samples=cfg.n_samples,
                                      classifier=clf, frame_extractor=fx2d,
                                      real_features=real_features)
-            out["extractor"] = ("i3d-kinetics400" if fx.pretrained
-                                else "i3d-random-init")
+            out["extractor"] = fx_tag
             out["fvd_published_comparable"] = fx.pretrained
             out["is_classifier"] = (
                 ("c3d-ucf101" if clf.pretrained else "c3d-random-init")
                 if cfg.is_protocol == "c3d" else
                 ("i3d-kinetics400" if clf.pretrained else "i3d-random-init"))
             out["is_published_comparable"] = clf.pretrained
-            out["frame_extractor"] = ("inception-v3" if fx2d.pretrained
-                                      else "inception-v3-random-init")
+            out["frame_extractor"] = fx2d_tag
             out["fid_published_comparable"] = fx2d.pretrained
             print(json.dumps(out))
         else:
