@@ -29,7 +29,8 @@ from dvdgan_tpu.train import checkpoint as ckpt
 from dvdgan_tpu.train import state as train_state
 from dvdgan_tpu.train import step as step_mod
 from dvdgan_tpu.utils.config import Config
-from dvdgan_tpu.utils.logging import MetricWriter, step_line
+from dvdgan_tpu.utils.logging import (MetricWriter, NullWriter,
+                                      step_line)
 from dvdgan_tpu.utils.media import save_batch_gifs, save_video_grid_png
 
 
@@ -44,8 +45,16 @@ class Trainer:
         self.out_dir = cfg.out_dir
         self.ckpt_dir = os.path.join(self.out_dir, "checkpoints")
         self.sample_dir = os.path.join(self.out_dir, "samples")
-        os.makedirs(self.out_dir, exist_ok=True)
-        self.writer = MetricWriter(os.path.join(self.out_dir, "logs"))
+        # multi-host: every process COMPUTES everything (jit over global
+        # arrays is SPMD — all processes must execute the same program),
+        # but only the leader WRITES (checkpoints, samples, scalars) — N
+        # processes writing one shared out_dir would race/corrupt
+        self.is_main = jax.process_index() == 0
+        if self.is_main:
+            os.makedirs(self.out_dir, exist_ok=True)
+            self.writer = MetricWriter(os.path.join(self.out_dir, "logs"))
+        else:
+            self.writer = NullWriter()
 
         self.dataset = self._build_dataset()
         self.saver = ckpt.AsyncSaver() if cfg.async_save else None
@@ -251,18 +260,22 @@ class Trainer:
                     # ends at the lagged step's device completion
                     self.writer.scalars(m, report_step)
                     self.writer.scalar("steps_per_sec", sps, report_step)
-                    print(step_line(report_step, m, sps))
+                    if self.is_main:
+                        print(step_line(report_step, m, sps))
                     lagged = (step, metrics)
                 if c.sample_step and step % c.sample_step == 0:
-                    self.dump_samples(step)
+                    if self.is_main:
+                        self.dump_samples(step)
                     if c.log_sigmas:   # the reference's occasional σ/γ lines
                         self.writer.scalars(self.sn_diagnostics(), step)
                 if c.eval_step and step % c.eval_step == 0:
                     ev = self.evaluate()
                     self.writer.scalars(ev, step)
-                    print(f"eval @ {step}: " + " ".join(
-                        f"{k} {v:.4f}" for k, v in ev.items()))
-                if c.model_save_step and step % c.model_save_step == 0:
+                    if self.is_main:
+                        print(f"eval @ {step}: " + " ".join(
+                            f"{k} {v:.4f}" for k, v in ev.items()))
+                if (c.model_save_step and step % c.model_save_step == 0
+                        and self.is_main):
                     if self.saver is not None:
                         self.saver.save(self.ckpt_dir, step, self.state,
                                         max_to_keep=c.keep_checkpoints or None)

@@ -47,6 +47,22 @@ class MetricWriter:
             self._tb.close()
 
 
+class NullWriter:
+    """MetricWriter-shaped no-op for non-leader processes in multi-host
+    runs: every process computes the (pmean'd, identical) metrics, only
+    process 0 writes files — N processes appending to one scalars.jsonl /
+    TB event file on a shared out_dir would interleave/corrupt."""
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        pass
+
+    def scalars(self, metrics: dict, step: int) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 def step_line(step: int, metrics: dict, steps_per_sec: Optional[float] = None
               ) -> str:
     """The reference's per-step stdout one-liner."""

@@ -163,3 +163,28 @@ def test_sn_diagnostics_keys(tmp_path):
     convs = [v for k, v in d.items()
              if k.startswith("sigma/") and k.endswith("/w")]
     assert convs and all(abs(v - 1.0) < 0.05 for v in convs)
+
+
+def test_non_leader_process_writes_nothing(tmp_path, monkeypatch):
+    """Multi-host contract: non-leader processes compute everything but
+    write NOTHING (no checkpoints/samples/scalars) — N processes writing
+    one shared out_dir would race. Simulated by patching process_index."""
+    import jax as _jax
+
+    from dvdgan_tpu.train.trainer import Trainer
+    from dvdgan_tpu.utils.config import Config
+
+    monkeypatch.setattr(_jax, "process_index", lambda: 1)
+    out = tmp_path / "run"
+    cfg = Config(dataset="synthetic", n_classes=3, img_size=32, n_frames=4,
+                 ch=8, d_ch=8, k_frames=2, batch_size=8, d_steps=1,
+                 total_step=2, log_step=1, sample_step=2,
+                 model_save_step=1, ema_start=0, bf16=False,
+                 out_dir=str(out))
+    tr = Trainer(cfg)
+    assert tr.is_main is False
+    m = tr.train()
+    tr.close()
+    assert np.isfinite(m["g_loss"])
+    assert int(_jax.device_get(tr.state["step"])) == 2   # computed fully
+    assert not out.exists()                             # wrote nothing
