@@ -11,6 +11,12 @@ Device strategy: with >1 visible device the step runs shard_map'd over a
 1-D `data` mesh (grad psum + cross-replica BN); single-device uses the plain
 jitted step. Either way the host loop only touches numpy batches and
 device_put's them with the right sharding.
+
+Multi-host: every process executes the same SPMD program; only process 0
+writes artifacts (state is fully replicated, so the leader's checkpoint is
+the global checkpoint). Resume assumes --out_dir is on storage all hosts
+can read — the standard pod setup; with host-local disks, distribute the
+leader's checkpoint before restarting.
 """
 
 from __future__ import annotations
