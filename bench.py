@@ -82,7 +82,10 @@ CALLS = 4
 
 
 def main():
-    wait_for_device(float(os.environ.get("DVDGAN_BENCH_WAIT_S", "900")))
+    # default raised 900->3600 after an axon outage that lasted hours:
+    # the driver's round-end bench should ride out a recovery tail rather
+    # than record a failure a few minutes short of it
+    wait_for_device(float(os.environ.get("DVDGAN_BENCH_WAIT_S", "3600")))
     from dvdgan_tpu.utils.cache import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
     # the FIXED flagship config (no env overrides here — this is the
