@@ -75,12 +75,18 @@ class Trainer:
         # with time_shards > 1 the mesh is 2-D (data × time) and DT runs
         # context-parallel over the clip (SURVEY §5.7)
         n_time = max(1, cfg.time_shards)
-        if n_time > 1 and jax.device_count() < n_time:
+        avail = jax.device_count()
+        if cfg.n_devices > 0:
+            if cfg.n_devices > avail:
+                raise ValueError(f"--n_devices {cfg.n_devices} > "
+                                 f"{avail} visible devices")
+            avail = cfg.n_devices
+        if n_time > 1 and avail < n_time:
             raise ValueError(
                 f"time_shards={n_time} needs at least that many devices; "
-                f"have {jax.device_count()} (refusing to silently drop "
+                f"have {avail} (refusing to silently drop "
                 "the requested context parallelism)")
-        n_data = jax.device_count() // n_time
+        n_data = avail // n_time
         while n_data > 1 and cfg.batch_size % n_data:
             n_data -= 1
         self.n_devices = n_data * n_time

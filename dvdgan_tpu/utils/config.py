@@ -94,6 +94,9 @@ class Config:
     eval_samples: int = 64
     pretrained_model: Optional[int] = None   # resume from this step
     # runtime
+    n_devices: int = 0           # >0: use only the first N visible devices
+    #                              (cap the DP width, e.g. scaling studies
+    #                              on a pod slice); 0 = all
     seed: int = 0
     bf16: bool = True
     out_dir: str = "runs/default"

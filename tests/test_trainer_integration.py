@@ -188,3 +188,25 @@ def test_non_leader_process_writes_nothing(tmp_path, monkeypatch):
     assert np.isfinite(m["g_loss"])
     assert int(_jax.device_get(tr.state["step"])) == 2   # computed fully
     assert not out.exists()                             # wrote nothing
+
+
+def test_n_devices_caps_mesh(tmp_path):
+    """--n_devices N restricts the DP mesh to the first N devices (pod
+    scaling studies); oversubscription errors loudly."""
+    import pytest
+
+    def mk(n):
+        return Config(dataset="synthetic", n_classes=3, img_size=32,
+                      n_frames=4, ch=8, d_ch=8, k_frames=2, batch_size=4,
+                      d_steps=1, total_step=1, log_step=1, sample_step=0,
+                      model_save_step=0, ema_start=0, bf16=False,
+                      n_devices=n, out_dir=str(tmp_path / f"d{n}"))
+
+    tr = Trainer(mk(2))
+    assert tr.n_devices == 2
+    assert tr.mesh is not None and tr.mesh.devices.size == 2
+    m = tr.train()
+    tr.close()
+    assert np.isfinite(m["g_loss"])
+    with pytest.raises(ValueError, match="n_devices"):
+        Trainer(mk(99))
