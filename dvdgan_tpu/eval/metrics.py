@@ -108,13 +108,16 @@ def file_stamp(path: Optional[str]) -> str:
 def load_or_compute_real_stats(path: str, ds, extractor: Callable, n: int,
                                batch_size: int = 16,
                                frame_extractor: Optional[Callable] = None,
-                               meta: Optional[dict] = None
+                               meta: Optional[dict] = None,
+                               write: bool = True
                                ) -> tuple[np.ndarray, Optional[np.ndarray]]:
     """Disk-persisted real-side features (standard FID practice). If
     `path` exists, load it — after checking every `meta` entry against the
     stamps written at save time, so stale stats from a different
     dataset/extractor/shape can't silently poison the Fréchet math.
-    Otherwise compute via `compute_real_features` and save to `path`."""
+    Otherwise compute via `compute_real_features` and (with write=True)
+    save to `path`. Multi-host: pass write=False on non-leader processes —
+    N processes publishing the same path would race the tmp+rename."""
     import os
     meta = meta or {}
     if os.path.exists(path):
@@ -130,6 +133,8 @@ def load_or_compute_real_stats(path: str, ds, extractor: Callable, n: int,
             return z["feats"], rff
     rf, rff = compute_real_features(ds, extractor, n, batch_size=batch_size,
                                     frame_extractor=frame_extractor)
+    if not write:
+        return rf, rff
     arrays = {"feats": rf}
     if rff is not None:
         arrays["frame_feats"] = rff

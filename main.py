@@ -63,12 +63,13 @@ def main(argv=None):
                                 np.float32) for i in range(cfg.n_samples)])
             videos = np.asarray(
                 jax.device_get(trainer.sample(z, y, cond=cond)), np.float32)
-            out = os.path.join(cfg.out_dir, "samples")
-            step = trainer.start_step
-            save_video_grid_png(os.path.join(out, f"eval_{step}_grid.png"),
-                                videos)
-            save_batch_gifs(out, videos, step, max_n=cfg.n_samples)
-            print(f"wrote {cfg.n_samples} samples to {out}")
+            if trainer.is_main:   # multihost: one writer (see Trainer)
+                out = os.path.join(cfg.out_dir, "samples")
+                step = trainer.start_step
+                save_video_grid_png(
+                    os.path.join(out, f"eval_{step}_grid.png"), videos)
+                save_batch_gifs(out, videos, step, max_n=cfg.n_samples)
+                print(f"wrote {cfg.n_samples} samples to {out}")
         elif cfg.mode == "eval":
             import json
             from dvdgan_tpu.eval import (C3DClassifierProbs,
@@ -117,8 +118,10 @@ def main(argv=None):
                 real_features = load_or_compute_real_stats(
                     cfg.real_stats, trainer.dataset, fx, n,
                     batch_size=min(cfg.batch_size, n),
-                    frame_extractor=fx2d, meta=meta)
-                print(f"real stats: {cfg.real_stats}")
+                    frame_extractor=fx2d, meta=meta,
+                    write=trainer.is_main)
+                if trainer.is_main:
+                    print(f"real stats: {cfg.real_stats}")
             out = evaluate_generator(trainer, fx, n_samples=cfg.n_samples,
                                      classifier=clf, frame_extractor=fx2d,
                                      real_features=real_features)
@@ -131,7 +134,8 @@ def main(argv=None):
             out["is_published_comparable"] = clf.pretrained
             out["frame_extractor"] = fx2d_tag
             out["fid_published_comparable"] = fx2d.pretrained
-            print(json.dumps(out))
+            if trainer.is_main:   # every process computed the same value
+                print(json.dumps(out))
         else:
             metrics = trainer.train()
             print("final:", metrics)

@@ -365,3 +365,25 @@ def test_file_stamp_invalidates_real_stats(tmp_path):
         load_or_compute_real_stats(
             stats, ds, fx, 4, batch_size=2,
             meta={"extractor_weights": file_stamp(str(w))})
+
+
+def test_real_stats_write_false_touches_no_disk(tmp_path):
+    """write=False (non-leader processes) computes without publishing —
+    and still loads an existing cache when one is present."""
+    import numpy as np
+
+    from dvdgan_tpu.data import SyntheticVideoDataset
+    from dvdgan_tpu.eval import load_or_compute_real_stats
+
+    ds = SyntheticVideoDataset(n_items=8, n_frames=4, img_size=32,
+                               n_classes=3, seed=0)
+    fx = I3DLikeFeatures(seed=0, widths=(8, 16))
+    path = str(tmp_path / "s.npz")
+    rf1, _ = load_or_compute_real_stats(path, ds, fx, 4, batch_size=2,
+                                        write=False)
+    assert list(tmp_path.iterdir()) == []            # nothing published
+    rf2, _ = load_or_compute_real_stats(path, ds, fx, 4, batch_size=2)
+    assert (tmp_path / "s.npz").exists()
+    rf3, _ = load_or_compute_real_stats(path, ds, fx, 4, batch_size=2,
+                                        write=False)  # reads the cache
+    assert np.array_equal(rf1, rf2) and np.array_equal(rf2, rf3)
