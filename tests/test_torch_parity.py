@@ -576,3 +576,38 @@ def test_gradient_parity_g_loss_fp():
     gt, _ = tw.export_generator(mg)
     chex.assert_trees_all_close(jax.tree.map(np.asarray, gj), gt,
                                 atol=1e-4, rtol=1e-3)
+
+
+def test_adam_update_parity_with_torch():
+    """optax.adam(β=(0,0.999)) == torch.optim.Adam step-for-step on the
+    same gradient stream (completes the migration story at the update
+    rule: same grads ⇒ same trajectory). 5 steps, tolerance covers the
+    eps-placement and bias-correction orderings."""
+    import numpy as np
+    import optax
+    import torch
+
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    p0 = rng.randn(7, 5).astype(np.float32)
+    grads = [rng.randn(7, 5).astype(np.float32) * 10 ** rng.uniform(-3, 1)
+             for _ in range(5)]
+
+    lr, b1, b2 = 1e-4, 0.0, 0.999
+    opt = optax.adam(lr, b1=b1, b2=b2)
+    pj = jnp.asarray(p0)
+    st = opt.init(pj)
+    for g in grads:
+        upd, st = opt.update(jnp.asarray(g), st, pj)
+        pj = pj + upd
+
+    pt = torch.nn.Parameter(torch.tensor(p0))
+    topt = torch.optim.Adam([pt], lr=lr, betas=(b1, b2), eps=1e-8)
+    for g in grads:
+        topt.zero_grad()
+        pt.grad = torch.tensor(g)
+        topt.step()
+
+    np.testing.assert_allclose(np.asarray(pj), pt.detach().numpy(),
+                               rtol=1e-5, atol=1e-7)
