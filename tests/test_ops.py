@@ -548,3 +548,55 @@ def test_env_choice_rejects_typos(monkeypatch):
     monkeypatch.delenv("DVDGAN_KNOB_TEST")
     assert layers.env_choice("DVDGAN_KNOB_TEST", "stack",
                              ("stack", "moveaxis")) == "stack"
+
+
+@pytest.mark.parametrize("t,hw,cin,cout", [
+    (2, 4, 5, 7),    # minimal even T
+    (4, 6, 2, 9),    # larger map, odd channels
+    (8, 3, 8, 16),   # tiny spatial map
+])
+def test_conv3d_tpair_shape_sweep(t, hw, cin, cout):
+    """The temporal output-pair lowering must be exact across (even)
+    clip lengths, spatial sizes and channel counts; odd T is REFUSED by
+    the core (the callers gate on evenness and fall back to conv3d) —
+    a silent odd-T answer would be wrong, so the sweep pins the error
+    too."""
+    if t == 2:   # odd-T refusal checked once
+        podd = layers.conv3d_init(jax.random.PRNGKey(0), (3, 3, 3), 3, 4)
+        xodd = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 4, 4, 3))
+        with pytest.raises(ValueError, match="phases"):
+            layers.conv3d_tpair(podd, xodd)
+    p = layers.conv3d_init(jax.random.PRNGKey(t * 100 + hw), (3, 3, 3),
+                           cin, cout)
+    x = jax.random.normal(jax.random.PRNGKey(hw), (2, t, hw, hw, cin))
+    np.testing.assert_allclose(np.asarray(layers.conv3d(p, x)),
+                               np.asarray(layers.conv3d_tpair(p, x)),
+                               rtol=2e-5, atol=2e-5)
+    g_a = jax.grad(lambda w: (layers.conv3d({"w": w, "b": p["b"]}, x)
+                              ** 2).sum())(p["w"])
+    g_b = jax.grad(lambda w: (layers.conv3d_tpair({"w": w, "b": p["b"]},
+                                                  x) ** 2).sum())(p["w"])
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("hw,cin,cout", [(3, 2, 5), (5, 4, 4), (8, 7, 3)])
+def test_upsample2x_conv3x3_shape_sweep(hw, cin, cout):
+    """Phase-decomposed up->conv across odd/even map sizes and channel
+    counts (boundary phases differ between odd and even sizes)."""
+    p = layers.conv2d_init(jax.random.PRNGKey(hw), 3, cin, cout)
+    x = jax.random.normal(jax.random.PRNGKey(cin), (2, hw, hw, cin))
+
+    def oracle(pp, xx):
+        up = jnp.repeat(jnp.repeat(xx, 2, axis=1), 2, axis=2)
+        return layers.conv2d(pp, up)
+
+    np.testing.assert_allclose(np.asarray(oracle(p, x)),
+                               np.asarray(layers.upsample2x_conv3x3(p, x)),
+                               rtol=2e-5, atol=2e-5)
+    g_a = jax.grad(lambda w: (oracle({"w": w, "b": p["b"]}, x)
+                              ** 2).sum())(p["w"])
+    g_b = jax.grad(lambda w: (layers.upsample2x_conv3x3(
+        {"w": w, "b": p["b"]}, x) ** 2).sum())(p["w"])
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b),
+                               rtol=2e-4, atol=2e-4)
