@@ -36,7 +36,11 @@ def save(ckpt_dir: str, step: int, state: Any,
     path = os.path.join(os.path.abspath(ckpt_dir), str(step))
     with _checkpointer() as ckptr:
         ckptr.save(path, state, force=True)
-    if max_to_keep is not None and max_to_keep > 0:
+    # multihost: every process calls save (Orbax coordinates the write),
+    # but only the leader prunes — N processes rmtree-ing a shared
+    # ckpt_dir would race
+    if (max_to_keep is not None and max_to_keep > 0
+            and jax.process_index() == 0):
         _prune(ckpt_dir, max_to_keep)
 
 

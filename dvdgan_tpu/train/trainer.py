@@ -13,10 +13,11 @@ jitted step. Either way the host loop only touches numpy batches and
 device_put's them with the right sharding.
 
 Multi-host: every process executes the same SPMD program; only process 0
-writes artifacts (state is fully replicated, so the leader's checkpoint is
-the global checkpoint). Resume assumes --out_dir is on storage all hosts
-can read — the standard pod setup; with host-local disks, distribute the
-leader's checkpoint before restarting.
+writes scalars/samples, while checkpoint saves are called by EVERY process
+(Orbax's save is a multi-process collective that elects the primary
+writer). Resume assumes --out_dir is on storage all hosts can read — the
+standard pod setup; with host-local disks, distribute the leader's
+checkpoint before restarting.
 """
 
 from __future__ import annotations
@@ -63,7 +64,15 @@ class Trainer:
             self.writer = NullWriter()
 
         self.dataset = self._build_dataset()
-        self.saver = ckpt.AsyncSaver() if cfg.async_save else None
+        # async checkpointing is SINGLE-PROCESS only: Orbax's save is a
+        # multi-process collective (every process must call it; Orbax
+        # elects the primary writer), and running that barrier on a
+        # background thread would interleave its collectives with the
+        # main thread's train-step collectives in a process-dependent
+        # order — multihost uses the synchronous path instead.
+        self.saver = (ckpt.AsyncSaver()
+                      if cfg.async_save and jax.process_count() == 1
+                      else None)
 
         key = jax.random.PRNGKey(cfg.seed)
         self.state = train_state.create(key, self.g_cfg, self.ds_cfg,
@@ -276,8 +285,11 @@ class Trainer:
                         print(step_line(report_step, m, sps))
                     lagged = (step, metrics)
                 if c.sample_step and step % c.sample_step == 0:
-                    if self.is_main:
-                        self.dump_samples(step)
+                    # dump_samples COMPUTES on every process (the sample
+                    # jit is a global SPMD computation — a leader-only
+                    # call would desync the processes' collective
+                    # streams) and writes files on the leader only
+                    self.dump_samples(step)
                     if c.log_sigmas:   # the reference's occasional σ/γ lines
                         self.writer.scalars(self.sn_diagnostics(), step)
                 if c.eval_step and step % c.eval_step == 0:
@@ -286,8 +298,10 @@ class Trainer:
                     if self.is_main:
                         print(f"eval @ {step}: " + " ".join(
                             f"{k} {v:.4f}" for k, v in ev.items()))
-                if (c.model_save_step and step % c.model_save_step == 0
-                        and self.is_main):
+                if c.model_save_step and step % c.model_save_step == 0:
+                    # EVERY process calls save — Orbax's save is itself a
+                    # multi-process collective and elects the primary
+                    # writer (leader-only calls deadlock its barrier)
                     if self.saver is not None:
                         self.saver.save(self.ckpt_dir, step, self.state,
                                         max_to_keep=c.keep_checkpoints or None)
@@ -412,12 +426,25 @@ class Trainer:
         if cond is None:
             cond = (None if self.cond_fixed is None
                     else self.cond_fixed[:z.shape[0]])
+        if self.mesh is not None:
+            # the state is GLOBAL (replicated over the mesh); z/y/cond are
+            # per-process host arrays. Multi-host jit requires every
+            # argument to be a global array — replicate them onto the same
+            # mesh (every process builds identical values: fixed seeds).
+            # Single-host this is a no-op placement.
+            rep = parallel.replicated(self.mesh)
+            z, y = jax.device_put(z, rep), jax.device_put(y, rep)
+            if cond is not None:
+                cond = jax.device_put(cond, rep)
         return self._sample_jit(st["g_ema"], st["g"]["stats"],
                                 st["g"]["sn_u"], z, y, cond_video=cond,
                                 g_cfg=self.g_cfg)
 
     def dump_samples(self, step: int):
+        # compute on ALL processes (global SPMD program); write on leader
         videos = np.asarray(jax.device_get(self.sample()), np.float32)
+        if not self.is_main:
+            return
         save_video_grid_png(
             os.path.join(self.sample_dir, f"{step}_grid.png"), videos)
         save_batch_gifs(self.sample_dir, videos, step)

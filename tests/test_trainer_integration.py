@@ -176,10 +176,14 @@ def test_non_leader_process_writes_nothing(tmp_path, monkeypatch):
 
     monkeypatch.setattr(_jax, "process_index", lambda: 1)
     out = tmp_path / "run"
+    # model_save_step=0: checkpoint writes are NOT leader-gated (Orbax's
+    # save is a multi-process collective that elects its own primary
+    # writer — every process must call it; see the multihost smoke's
+    # trainer leg for the real cross-process checkpoint validation)
     cfg = Config(dataset="synthetic", n_classes=3, img_size=32, n_frames=4,
                  ch=8, d_ch=8, k_frames=2, batch_size=8, d_steps=1,
                  total_step=2, log_step=1, sample_step=2,
-                 model_save_step=1, ema_start=0, bf16=False,
+                 model_save_step=0, ema_start=0, bf16=False,
                  out_dir=str(out))
     tr = Trainer(cfg)
     assert tr.is_main is False

@@ -1,8 +1,8 @@
 """Multi-host (multi-process) DP + CP smoke — SURVEY.md §5.8 / r1 §2.16.
 
 Forms a real 2-process jax.distributed cluster on localhost (CPU backend,
-2 virtual devices per process → a 4-device global mesh), then runs FOUR
-shard_map'd train-step legs and checks the replicated state agrees
+2 virtual devices per process → a 4-device global mesh), then runs FIVE
+train legs and checks the replicated state agrees
 bitwise across processes (printed digests):
 
   1. DP: 1-D data mesh — gradient pmean + cross-replica BN span the
@@ -147,6 +147,46 @@ def worker(pid: int) -> None:
               f"{digest}", flush=True)
 
     run_chunk_leg()
+
+    # full-Trainer leg: the ORCHESTRATION end-to-end across processes —
+    # per-process input sharding auto-enabled (Loader rows), leader-only
+    # scalar/sample writes, the Orbax multi-process checkpoint save
+    # (every process calls it; Orbax elects the writer), and the global
+    # sample jit (replicated z/y). Digests of the trained params AND the
+    # sampled clips must match across processes.
+    def run_trainer_leg() -> None:
+        from dvdgan_tpu.train.trainer import Trainer
+        from dvdgan_tpu.utils.config import Config
+
+        out = "/tmp/dvdgan_mh_trainer"   # one dir: emulates pod shared FS
+        # (cleaned by the LAUNCHER before spawning: a pid-0 rmtree here
+        # races pid 1's auto-resume check into divergent programs)
+        cfg = Config(dataset="synthetic", n_classes=5, img_size=32,
+                     n_frames=4, ch=8, d_ch=8, k_frames=2, batch_size=4,
+                     d_steps=1, total_step=2, log_step=1, sample_step=2,
+                     model_save_step=2, emb_dim=16, attn_res=16,
+                     bf16=False, out_dir=out)
+        tr = Trainer(cfg)
+        assert tr.is_main == (pid == 0)
+        assert tr._local_rows is not None, "per-process rows expected"
+        tr.train()
+        vids = np.asarray(jax.device_get(tr.sample()), np.float32)
+        leaves = jax.tree.leaves(jax.device_get(tr.state["g"]["params"]))
+        tr.close()
+        if pid == 0:   # leader wrote artifacts (shared dir: the non-
+            #            leader can SEE them, so only the leader asserts)
+            assert os.path.isdir(os.path.join(out, "checkpoints", "2"))
+            assert os.path.getsize(
+                os.path.join(out, "logs", "scalars.jsonl")) > 0
+        digest = hashlib.sha256(
+            b"".join(np.ascontiguousarray(l).tobytes() for l in leaves)
+        ).hexdigest()[:16]
+        sdigest = hashlib.sha256(
+            np.ascontiguousarray(vids).tobytes()).hexdigest()[:16]
+        print(f"proc {pid}: [trainer] params-digest-trainer {digest} "
+              f"sample-digest-trainer {sdigest}", flush=True)
+
+    run_trainer_leg()
     # time OUTER so each (data-rank) pair of time shards spans both
     # processes: the DT halo ppermute and time-score psum cross hosts
     run_leg("cp", parallel.make_mesh(
@@ -158,6 +198,8 @@ def main() -> None:
         worker(int(sys.argv[2]))
         return
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import shutil
+    shutil.rmtree("/tmp/dvdgan_mh_trainer", ignore_errors=True)
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
@@ -183,7 +225,7 @@ def main() -> None:
         sys.exit(1)
     rcs = [p.returncode for p in procs]
     digests: dict[str, list] = {"dp": [], "dplocal": [], "cp": [],
-                                "chunk": []}
+                                "chunk": [], "trainer": []}
     for i, out in enumerate(outs):
         print(f"--- worker {i} (rc={rcs[i]}) ---")
         print(out[-1500:])
