@@ -120,6 +120,14 @@ def shard_batch_chunk_local(mesh: Mesh, clips: np.ndarray,
 
 
 def replicate_state(mesh: Mesh, state):
+    """Replicate a per-process state tree onto the mesh. Goes through the
+    HOST buffer: device_put of a committed single-device array to a
+    multi-process sharding would ask the runtime for a cross-host device
+    transfer (unsupported on the CPU/gloo backend, and unnecessary —
+    every process already holds the identical full value, whether from
+    `create` or an Orbax restore)."""
+    state = jax.tree.map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, state)
     return jax.device_put(state, replicated(mesh))
 
 

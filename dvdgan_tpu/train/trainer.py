@@ -187,6 +187,15 @@ class Trainer:
         step = self.cfg.pretrained_model
         if step is None:
             step = ckpt.latest_step(self.ckpt_dir)
+        if jax.process_count() > 1:
+            # all processes must restore the SAME step: a directory
+            # listing racing a checkpoint write (or an unsynced shared
+            # FS) could give hosts different answers — divergent states
+            # and a collective mismatch later. The leader's answer wins.
+            from jax.experimental import multihost_utils
+            s = int(multihost_utils.broadcast_one_to_all(
+                jnp.asarray(-1 if step is None else step, jnp.int32)))
+            step = None if s < 0 else s
         if step is not None:
             self.state = ckpt.restore(self.ckpt_dir, step, self.state)
             self.start_step = int(step)

@@ -186,6 +186,20 @@ def worker(pid: int) -> None:
         print(f"proc {pid}: [trainer] params-digest-trainer {digest} "
               f"sample-digest-trainer {sdigest}", flush=True)
 
+        # cross-process RESUME: a second Trainer on the same out_dir must
+        # agree on the restored step (leader-broadcast latest_step), run
+        # the Orbax multi-process restore, and continue bit-identically
+        tr2 = Trainer(cfg)
+        assert tr2.start_step == 2, tr2.start_step
+        tr2.train(total_step=4)
+        leaves2 = jax.tree.leaves(jax.device_get(tr2.state["g"]["params"]))
+        tr2.close()
+        digest2 = hashlib.sha256(
+            b"".join(np.ascontiguousarray(l).tobytes() for l in leaves2)
+        ).hexdigest()[:16]
+        print(f"proc {pid}: [trainer2] params-digest-trainer2 {digest2}",
+              flush=True)
+
     run_trainer_leg()
     # time OUTER so each (data-rank) pair of time shards spans both
     # processes: the DT halo ppermute and time-score psum cross hosts
@@ -225,7 +239,8 @@ def main() -> None:
         sys.exit(1)
     rcs = [p.returncode for p in procs]
     digests: dict[str, list] = {"dp": [], "dplocal": [], "cp": [],
-                                "chunk": [], "trainer": []}
+                                "chunk": [], "trainer": [],
+                                "trainer2": []}
     for i, out in enumerate(outs):
         print(f"--- worker {i} (rc={rcs[i]}) ---")
         print(out[-1500:])
