@@ -73,6 +73,10 @@ class Trainer:
         self.saver = (ckpt.AsyncSaver()
                       if cfg.async_save and jax.process_count() == 1
                       else None)
+        if cfg.async_save and self.saver is None and self.is_main:
+            print("async_save: multi-process run uses synchronous "
+                  "checkpointing (Orbax's save barrier cannot run on a "
+                  "background thread)")
 
         key = jax.random.PRNGKey(cfg.seed)
         self.state = train_state.create(key, self.g_cfg, self.ds_cfg,
@@ -86,6 +90,12 @@ class Trainer:
         n_time = max(1, cfg.time_shards)
         avail = jax.device_count()
         if cfg.n_devices > 0:
+            if jax.process_count() > 1:
+                raise ValueError(
+                    "--n_devices is single-process only: capping to the "
+                    "first N of the globally-ordered device list would "
+                    "strand the other hosts' processes (shrink the "
+                    "cluster instead)")
             if cfg.n_devices > avail:
                 raise ValueError(f"--n_devices {cfg.n_devices} > "
                                  f"{avail} visible devices")
@@ -199,7 +209,8 @@ class Trainer:
         if step is not None:
             self.state = ckpt.restore(self.ckpt_dir, step, self.state)
             self.start_step = int(step)
-            print(f"resumed from checkpoint step {step}")
+            if self.is_main:
+                print(f"resumed from checkpoint step {step}")
 
     # ----------------------------------------------------------------- train
     def train(self, total_step: int | None = None) -> dict:
@@ -450,10 +461,13 @@ class Trainer:
                                 g_cfg=self.g_cfg)
 
     def dump_samples(self, step: int):
-        # compute on ALL processes (global SPMD program); write on leader
-        videos = np.asarray(jax.device_get(self.sample()), np.float32)
+        # compute on ALL processes (global SPMD program: the jit call
+        # itself must run everywhere) — but only the leader pays the
+        # device->host fetch and the file writes
+        videos_dev = self.sample()
         if not self.is_main:
             return
+        videos = np.asarray(jax.device_get(videos_dev), np.float32)
         save_video_grid_png(
             os.path.join(self.sample_dir, f"{step}_grid.png"), videos)
         save_batch_gifs(self.sample_dir, videos, step)

@@ -138,7 +138,8 @@ def main(argv=None):
                 print(json.dumps(out))
         else:
             metrics = trainer.train()
-            print("final:", metrics)
+            if trainer.is_main:
+                print("final:", metrics)
             trainer.dump_samples(step=cfg.total_step)
     finally:
         trainer.close()

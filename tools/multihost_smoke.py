@@ -13,6 +13,11 @@ bitwise across processes (printed digests):
   1c. DP chunked stepping: K=2 scanned steps per dispatch with
      per-process (K, local_rows, …) chunk assembly — the pod deployment
      shape of --steps_per_call.
+  1d. Full Trainer end-to-end, twice: train 2 steps (per-process Loader
+     rows, leader-only scalar/sample writes, Orbax multi-process
+     checkpoint save, replicated sample jit), then a second Trainer
+     resumes from the shared out_dir (leader-broadcast step) and
+     continues — params AND sampled-clip digests must match.
   2. CP: 2-D (time=2 outer, data=2) mesh — `time` is the OUTER axis, so
      for a fixed data rank the two time shards live on DIFFERENT
      processes: DT's ppermute frame-halo exchange and the time-axis
@@ -226,8 +231,9 @@ def main() -> None:
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for i in range(2)]
     try:
-        # 2 legs × 2 workers = 4 train-step compiles contending on the
-        # 1-core host (first run; the persistent cache amortizes repeats)
+        # six digest tags across the legs: several train-step/sample/
+        # restore compiles contend on the 1-core host on a cold cache
+        # (the persistent cache amortizes repeats)
         outs = [p.communicate(timeout=1800)[0] for p in procs]
     except subprocess.TimeoutExpired:
         for p in procs:           # don't orphan workers holding the port
@@ -241,17 +247,29 @@ def main() -> None:
     digests: dict[str, list] = {"dp": [], "dplocal": [], "cp": [],
                                 "chunk": [], "trainer": [],
                                 "trainer2": []}
+    sample_digests: list = []
     for i, out in enumerate(outs):
         print(f"--- worker {i} (rc={rcs[i]}) ---")
         print(out[-1500:])
         for line in out.splitlines():
             for tag in digests:
-                if f"params-digest-{tag} " in line:
-                    digests[tag].append(line.split()[-1])
+                # token FOLLOWING the marker — .split()[-1] would grab
+                # the trainer line's trailing SAMPLE digest instead of
+                # its params digest
+                marker = f"params-digest-{tag} "
+                if marker in line:
+                    digests[tag].append(
+                        line.split(marker, 1)[1].split()[0])
+            if "sample-digest-trainer " in line:
+                sample_digests.append(
+                    line.split("sample-digest-trainer ", 1)[1].split()[0])
     ok = rcs == [0, 0] and all(
         len(d) == 2 and d[0] == d[1] for d in digests.values())
     # local-input leg must reproduce the full-global-batch leg bitwise
     ok = ok and digests["dp"] and digests["dp"][0] == digests["dplocal"][0]
+    # the trainer leg's SAMPLE clips must also agree across processes
+    ok = ok and len(sample_digests) == 2 \
+        and sample_digests[0] == sample_digests[1]
     print("MULTIHOST-SMOKE-" + ("OK" if ok else "FAIL"))
     sys.exit(0 if ok else 1)
 
