@@ -226,3 +226,55 @@ def test_convert_c3d_rejects_wrong_arch(tmp_path):
     sd = {"conv1.weight": np.zeros((8, 3, 3, 3, 3), np.float32)}
     with pytest.raises(ValueError, match="does not map"):
         convert_c3d(sd, str(tmp_path / "bad.npz"))
+
+
+def test_export_serving_roundtrip(tmp_path):
+    """The serialized-StableHLO sampler artifact (tools/export_serving)
+    reproduces step.sample after serialize->deserialize, for both
+    synthesis and FP (conditioned) models. Tolerances, not bitwise: the
+    artifact bakes the weights in as CONSTANTS, which XLA folds/fuses
+    differently than runtime arguments (reassociation-level drift)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import export as jexport
+
+    from dvdgan_tpu.models import DSConfig, DTConfig, GConfig
+    from dvdgan_tpu.train import TrainConfig, create
+    from dvdgan_tpu.train import step as step_mod
+    from tools.export_serving import export_sampler
+
+    g_cfg = GConfig(img_size=32, n_frames=4, ch=8, z_dim=120, n_classes=5,
+                    emb_dim=16, attn_res=16)
+    st = create(jax.random.PRNGKey(0), g_cfg,
+                DSConfig(img_size=32, ch=8, n_classes=5, k_frames=2),
+                DTConfig(img_size=32, n_frames=4, ch=8, n_classes=5),
+                TrainConfig(d_steps=1, batch_size=2))
+    blob = export_sampler(st, g_cfg, batch=2, platforms=("cpu",))
+    fn = jexport.deserialize(bytearray(blob))
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 120))
+    y = jnp.asarray([0, 3], jnp.int32)
+    got = np.asarray(fn.call(z, y))
+    want = np.asarray(step_mod.sample(
+        jax.device_get(st["g_ema"]), jax.device_get(st["g"]["stats"]),
+        jax.device_get(st["g"]["sn_u"]), z, y, g_cfg=g_cfg))
+    assert got.shape == (2, 4, 32, 32, 3)
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-2)
+
+    # FP: conditioned artifact takes (z, y, cond)
+    fp_g = GConfig(img_size=32, n_frames=2, ch=8, z_dim=120, n_classes=5,
+                   emb_dim=16, attn_res=16, cond_frames=2)
+    st2 = create(jax.random.PRNGKey(0), fp_g,
+                 DSConfig(img_size=32, ch=8, n_classes=5, k_frames=2),
+                 DTConfig(img_size=32, n_frames=4, ch=8, n_classes=5),
+                 TrainConfig(d_steps=1, batch_size=2))
+    blob2 = export_sampler(st2, fp_g, batch=2, platforms=("cpu",))
+    fn2 = jexport.deserialize(bytearray(blob2))
+    cond = jax.random.normal(jax.random.PRNGKey(2), (2, 2, 32, 32, 3))
+    got2 = np.asarray(fn2.call(z, y, cond))
+    want2 = np.asarray(step_mod.sample(
+        jax.device_get(st2["g_ema"]), jax.device_get(st2["g"]["stats"]),
+        jax.device_get(st2["g"]["sn_u"]), z, y, g_cfg=fp_g,
+        cond_video=cond))
+    assert got2.shape == (2, 2, 32, 32, 3)
+    np.testing.assert_allclose(got2, want2, atol=5e-3, rtol=5e-2)

@@ -1,0 +1,117 @@
+"""Export the EMA-G sampler as a portable serialized-StableHLO artifact.
+
+Production serving story (SURVEY §3.4 inference path): `jax.export` lowers
+the jitted sampler — EMA weights, eval-mode BN and frozen SN `u` baked in
+as constants — to a self-contained StableHLO module that runs WITHOUT this
+repo's model code (and, with --platforms tpu,cpu, on either backend):
+
+    from jax import export
+    fn = export.deserialize(open("g_sampler.shlo", "rb").read())
+    clips = fn.call(z, y)            # z (B, z_dim) f32, y (B,) int32
+    #                                  -> (B, T, H, W, 3) in [-1, 1]
+    # DVD-GAN-FP artifacts additionally take cond (B, cond_frames, H, W, 3)
+
+The artifact matches `Trainer.sample` at the same inputs to float
+reassociation tolerance (weights are folded as constants, so XLA fuses
+slightly differently than the runtime-argument path; round-trip tested
+in tests/test_tools.py).
+
+Usage:
+  python tools/export_serving.py --preset ucf101_64 --out_dir runs/ucf \
+      [--pretrained_model N] --export_path g_sampler.shlo \
+      [--serve_batch 8] [--platforms tpu,cpu]
+
+Any model flag accepted by main.py pins the architecture; the checkpoint
+is resolved exactly like --mode sample (latest under --out_dir, or
+--pretrained_model N).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def export_sampler(state, g_cfg, batch: int,
+                   platforms=("cpu",)) -> bytes:
+    """Serialize the EMA-G sampler for `batch`-clip requests. Params are
+    closed over (constants in the artifact); inputs are (z, y[, cond])."""
+    import jax
+    import jax.numpy as jnp
+
+    from dvdgan_tpu.train import step as step_mod
+    from jax import export as jexport
+
+    g_ema = jax.device_get(state["g_ema"])
+    g_stats = jax.device_get(state["g"]["stats"])
+    sn_u = jax.device_get(state["g"]["sn_u"])
+
+    if g_cfg.cond_frames > 0:
+        def serve(z, y, cond):
+            return step_mod.sample(g_ema, g_stats, sn_u, z, y,
+                                   g_cfg=g_cfg, cond_video=cond)
+        args = (jnp.zeros((batch, g_cfg.z_dim), jnp.float32),
+                jnp.zeros((batch,), jnp.int32),
+                jnp.zeros((batch, g_cfg.cond_frames, g_cfg.img_size,
+                           g_cfg.img_size, 3), jnp.float32))
+    else:
+        def serve(z, y):
+            return step_mod.sample(g_ema, g_stats, sn_u, z, y, g_cfg=g_cfg)
+        args = (jnp.zeros((batch, g_cfg.z_dim), jnp.float32),
+                jnp.zeros((batch,), jnp.int32))
+
+    exported = jexport.export(jax.jit(serve),
+                              platforms=list(platforms))(*args)
+    return bytes(exported.serialize())
+
+
+def main(argv=None) -> str:
+    import jax
+
+    from dvdgan_tpu.train import checkpoint as ckpt
+    from dvdgan_tpu.train import state as train_state
+    from dvdgan_tpu.utils import config as config_mod
+    from dvdgan_tpu.utils.cache import enable_persistent_compilation_cache
+
+    parser = config_mod.build_parser()
+    parser.add_argument("--export_path", required=True,
+                        help="output file for the serialized artifact")
+    parser.add_argument("--serve_batch", type=int, default=8,
+                        help="clips per serving request (baked shape)")
+    parser.add_argument("--platforms", default="tpu,cpu",
+                        help="comma-separated lowering platforms")
+    args = parser.parse_args(argv)
+    cfg = config_mod.config_from_args(args)
+    enable_persistent_compilation_cache()
+
+    g_cfg = cfg.g_config()
+    template = train_state.create(jax.random.PRNGKey(cfg.seed), g_cfg,
+                                  cfg.ds_config(), cfg.dt_config(),
+                                  cfg.train_config())
+    ckpt_dir = os.path.join(cfg.out_dir, "checkpoints")
+    step = cfg.pretrained_model
+    if step is None:
+        step = ckpt.latest_step(ckpt_dir)
+    if step is not None:
+        state = ckpt.restore(ckpt_dir, step, template)
+        print(f"exporting checkpoint step {step}")
+    else:
+        state = template
+        print("WARNING: no checkpoint found — exporting the random init")
+
+    blob = export_sampler(state, g_cfg, args.serve_batch,
+                          platforms=[p.strip() for p in
+                                     args.platforms.split(",") if p.strip()])
+    with open(args.export_path, "wb") as f:
+        f.write(blob)
+    print(f"wrote {len(blob)} bytes to {args.export_path} "
+          f"(batch {args.serve_batch}, platforms {args.platforms})")
+    return args.export_path
+
+
+if __name__ == "__main__":
+    main()
