@@ -214,3 +214,34 @@ def test_n_devices_caps_mesh(tmp_path):
     assert np.isfinite(m["g_loss"])
     with pytest.raises(ValueError, match="n_devices"):
         Trainer(mk(99))
+
+
+def test_trainer_frames_dataset_end_to_end(tmp_path):
+    """main.py-equivalent composition: Trainer over a real on-disk
+    FrameFolderDataset (.npy videos, C++ clip assembly, threaded loader)
+    — the frames preset path, previously only covered piecewise."""
+    data = tmp_path / "data"
+    rng = np.random.RandomState(0)
+    for c in range(2):
+        cdir = data / f"class{c}"
+        cdir.mkdir(parents=True)
+        for v in range(4):
+            np.save(cdir / f"vid{v}.npy",
+                    rng.randint(0, 256, (10, 48, 48, 3), dtype=np.uint8))
+
+    cfg = Config(dataset="frames", data_path=str(data), n_classes=2,
+                 img_size=32, n_frames=4, ch=8, d_ch=8, k_frames=2,
+                 batch_size=4, d_steps=1, total_step=2, log_step=1,
+                 sample_step=0, model_save_step=2, ema_start=0,
+                 bf16=False, out_dir=str(tmp_path / "run"))
+    tr = Trainer(cfg)
+    m = tr.train()
+    tr.close()
+    assert all(np.isfinite(v) for v in m.values())
+    assert os.path.isdir(os.path.join(cfg.out_dir, "checkpoints", "2"))
+    # n_classes mismatch is refused loudly
+    bad = Config(dataset="frames", data_path=str(data), n_classes=7,
+                 img_size=32, n_frames=4, ch=8, d_ch=8, batch_size=4,
+                 bf16=False, out_dir=str(tmp_path / "run2"))
+    with pytest.raises(ValueError, match="n_classes"):
+        Trainer(bad)
