@@ -154,7 +154,8 @@ def evaluate_generator(trainer, extractor: Callable, n_samples: int = 256,
                        batch_size: int = 16,
                        classifier: Optional[Callable] = None,
                        frame_extractor: Optional[Callable] = None,
-                       real_features: Optional[tuple] = None) -> dict:
+                       real_features: Optional[tuple] = None,
+                       sample_seed: int = 1234) -> dict:
     """End-to-end eval loop: EMA-G samples vs the trainer's dataset.
     Returns {"fvd": ..., ["is_mean","is_std"]}.
 
@@ -163,6 +164,10 @@ def evaluate_generator(trainer, extractor: Callable, n_samples: int = 256,
     prefix; features are computed over the FULL clip (real prefix +
     generated continuation) vs the corresponding real clips — the paper's
     prediction-FVD protocol ([P] §4).
+
+    `sample_seed`: offsets the fake-side RNG stream — repeated calls
+    with different seeds (and a shared `real_features`) give independent
+    FVD estimates for a mean±std report (--eval_repeats).
 
     `real_features`: precomputed `compute_real_features(...)` output for
     THIS (dataset, extractor[, frame_extractor], n). When given, the real
@@ -203,7 +208,7 @@ def evaluate_generator(trainer, extractor: Callable, n_samples: int = 256,
     fake_feats = []
     fake_frame_feats = []
     probs = []
-    key = jax.random.PRNGKey(trainer.cfg.seed + 1234)
+    key = jax.random.PRNGKey(trainer.cfg.seed + sample_seed)
     done = 0
     while done < n:
         b = min(batch_size, n - done)

@@ -92,6 +92,9 @@ class Config:
     #                                   evaluate_generator on eval_samples
     #                                   EMA-G samples, logged to scalars
     eval_samples: int = 64
+    eval_repeats: int = 1             # --mode eval: N independent fake
+    #                                   sample sets (shared real side) ->
+    #                                   fvd/fid mean ± std in the JSON
     pretrained_model: Optional[int] = None   # resume from this step
     # runtime
     n_devices: int = 0           # >0: use only the first N visible devices

@@ -122,9 +122,32 @@ def main(argv=None):
                     write=trainer.is_main)
                 if trainer.is_main:
                     print(f"real stats: {cfg.real_stats}")
-            out = evaluate_generator(trainer, fx, n_samples=cfg.n_samples,
-                                     classifier=clf, frame_extractor=fx2d,
-                                     real_features=real_features)
+            repeats = max(1, cfg.eval_repeats)
+            if real_features is None and repeats > 1:
+                # repeats must share ONE real side (it is identical by
+                # construction; recomputing would just burn decodes)
+                from dvdgan_tpu.eval import compute_real_features
+                n = min(cfg.n_samples, len(trainer.dataset))
+                real_features = compute_real_features(
+                    trainer.dataset, fx, n,
+                    batch_size=min(cfg.batch_size, n),
+                    frame_extractor=fx2d)
+            runs = [evaluate_generator(trainer, fx,
+                                       n_samples=cfg.n_samples,
+                                       classifier=clf,
+                                       frame_extractor=fx2d,
+                                       real_features=real_features,
+                                       sample_seed=1234 + 1000 * r)
+                    for r in range(repeats)]
+            out = dict(runs[0])
+            if repeats > 1:
+                import numpy as np
+                for k in ("fvd", "fid", "is_mean"):
+                    if k in runs[0]:
+                        vals = [r[k] for r in runs]
+                        out[k] = float(np.mean(vals))
+                        out[k + "_std"] = float(np.std(vals))
+                out["eval_repeats"] = repeats
             out["extractor"] = fx_tag
             out["fvd_published_comparable"] = fx.pretrained
             out["is_classifier"] = (

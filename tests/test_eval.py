@@ -387,3 +387,27 @@ def test_real_stats_write_false_touches_no_disk(tmp_path):
     rf3, _ = load_or_compute_real_stats(path, ds, fx, 4, batch_size=2,
                                         write=False)  # reads the cache
     assert np.array_equal(rf1, rf2) and np.array_equal(rf2, rf3)
+
+
+def test_sample_seed_varies_fake_stream(tmp_path):
+    """Different sample_seed -> different fake draws (distinct FVD);
+    same seed -> identical FVD. Basis of --eval_repeats mean±std."""
+    from dvdgan_tpu.eval import compute_real_features, evaluate_generator
+    from dvdgan_tpu.train.trainer import Trainer
+    from dvdgan_tpu.utils.config import Config
+
+    cfg = Config(dataset="synthetic", n_classes=3, img_size=32, n_frames=4,
+                 ch=8, d_ch=8, k_frames=2, batch_size=2, d_steps=1,
+                 total_step=0, bf16=False, out_dir=str(tmp_path / "run"))
+    tr = Trainer(cfg)
+    fx = I3DLikeFeatures(seed=0, widths=(8, 16))
+    rf = compute_real_features(tr.dataset, fx, 6, batch_size=3)
+    a = evaluate_generator(tr, fx, n_samples=6, batch_size=3,
+                           real_features=rf, sample_seed=1234)
+    b = evaluate_generator(tr, fx, n_samples=6, batch_size=3,
+                           real_features=rf, sample_seed=2234)
+    c = evaluate_generator(tr, fx, n_samples=6, batch_size=3,
+                           real_features=rf, sample_seed=1234)
+    tr.close()
+    assert a["fvd"] == c["fvd"]
+    assert a["fvd"] != b["fvd"]
