@@ -278,3 +278,39 @@ def test_export_serving_roundtrip(tmp_path):
         cond_video=cond))
     assert got2.shape == (2, 2, 32, 32, 3)
     np.testing.assert_allclose(got2, want2, atol=5e-3, rtol=5e-2)
+
+
+def test_export_serving_polymorphic_batch(tmp_path):
+    """--serve_batch 0 exports ONE batch-polymorphic artifact (jax.export
+    symbolic dim) that serves any request batch; outputs match fixed-shape
+    step.sample at each batch."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from dvdgan_tpu.models import DSConfig, DTConfig, GConfig
+    from dvdgan_tpu.train import TrainConfig, create
+    from dvdgan_tpu.train import step as step_mod
+    from tools.export_serving import export_sampler
+
+    g_cfg = GConfig(img_size=32, n_frames=4, ch=8, z_dim=120, n_classes=5,
+                    emb_dim=16, attn_res=16, cond_frames=2)
+    st = create(jax.random.PRNGKey(0), g_cfg,
+                DSConfig(img_size=32, ch=8, n_classes=5, k_frames=2),
+                DTConfig(img_size=32, n_frames=6, ch=8, n_classes=5),
+                TrainConfig(d_steps=1, batch_size=2))
+    fn = jexport.deserialize(bytearray(
+        export_sampler(st, g_cfg, batch=0, platforms=("cpu",))))
+    ema = jax.device_get(st["g_ema"])
+    stats = jax.device_get(st["g"]["stats"])
+    sn_u = jax.device_get(st["g"]["sn_u"])
+    for b in (1, 3):
+        z = jax.random.normal(jax.random.PRNGKey(b), (b, 120))
+        y = jnp.zeros((b,), jnp.int32)
+        cond = jax.random.normal(jax.random.PRNGKey(b + 9),
+                                 (b, 2, 32, 32, 3))
+        got = np.asarray(fn.call(z, y, cond))
+        want = np.asarray(step_mod.sample(ema, stats, sn_u, z, y,
+                                          g_cfg=g_cfg, cond_video=cond))
+        assert got.shape == (b, 4, 32, 32, 3)
+        np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-2)

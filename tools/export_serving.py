@@ -39,7 +39,13 @@ import numpy as np
 def export_sampler(state, g_cfg, batch: int,
                    platforms=("cpu",)) -> bytes:
     """Serialize the EMA-G sampler for `batch`-clip requests. Params are
-    closed over (constants in the artifact); inputs are (z, y[, cond])."""
+    closed over (constants in the artifact); inputs are (z, y[, cond]).
+
+    batch == 0 exports a BATCH-POLYMORPHIC artifact (jax.export symbolic
+    dimension): one compile at export time, any request batch >= 1 at
+    serve time. A fixed batch bakes the shape (XLA can specialize layouts
+    slightly better); 0 is the deployment-friendly default for request
+    servers with variable fan-in."""
     import jax
     import jax.numpy as jnp
 
@@ -50,19 +56,21 @@ def export_sampler(state, g_cfg, batch: int,
     g_stats = jax.device_get(state["g"]["stats"])
     sn_u = jax.device_get(state["g"]["sn_u"])
 
+    bdim = jexport.symbolic_shape("b")[0] if batch == 0 else batch
     if g_cfg.cond_frames > 0:
         def serve(z, y, cond):
             return step_mod.sample(g_ema, g_stats, sn_u, z, y,
                                    g_cfg=g_cfg, cond_video=cond)
-        args = (jnp.zeros((batch, g_cfg.z_dim), jnp.float32),
-                jnp.zeros((batch,), jnp.int32),
-                jnp.zeros((batch, g_cfg.cond_frames, g_cfg.img_size,
-                           g_cfg.img_size, 3), jnp.float32))
+        args = (jax.ShapeDtypeStruct((bdim, g_cfg.z_dim), jnp.float32),
+                jax.ShapeDtypeStruct((bdim,), jnp.int32),
+                jax.ShapeDtypeStruct((bdim, g_cfg.cond_frames,
+                                      g_cfg.img_size, g_cfg.img_size, 3),
+                                     jnp.float32))
     else:
         def serve(z, y):
             return step_mod.sample(g_ema, g_stats, sn_u, z, y, g_cfg=g_cfg)
-        args = (jnp.zeros((batch, g_cfg.z_dim), jnp.float32),
-                jnp.zeros((batch,), jnp.int32))
+        args = (jax.ShapeDtypeStruct((bdim, g_cfg.z_dim), jnp.float32),
+                jax.ShapeDtypeStruct((bdim,), jnp.int32))
 
     exported = jexport.export(jax.jit(serve),
                               platforms=list(platforms))(*args)
@@ -81,7 +89,8 @@ def main(argv=None) -> str:
     parser.add_argument("--export_path", required=True,
                         help="output file for the serialized artifact")
     parser.add_argument("--serve_batch", type=int, default=8,
-                        help="clips per serving request (baked shape)")
+                        help="clips per serving request (baked shape); "
+                             "0 = batch-polymorphic artifact")
     parser.add_argument("--platforms", default="tpu,cpu",
                         help="comma-separated lowering platforms")
     args = parser.parse_args(argv)
