@@ -68,3 +68,43 @@ def test_cache_disable_words(monkeypatch, tmp_path):
         jax.config.update("jax_compilation_cache_dir", saved_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           saved_min)
+
+
+def test_fallback_line_labels_stale(tmp_path, monkeypatch):
+    """When the device never comes up, bench reports the last committed
+    on-chip number UNAMBIGUOUSLY labeled (measured_this_run=False +
+    stale_reason); a fresh run overwrites the record via record_last_good."""
+    import json
+
+    p = tmp_path / "BENCH_LAST_GOOD.json"
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(p))
+    line = {"metric": "m", "value": 24.21, "unit": "u",
+            "vs_baseline": 6.2, "measured_this_run": True}
+    bench.record_last_good(line)
+    rec = bench.fallback_line("backend unavailable after 120 probes")
+    assert rec["measured_this_run"] is False
+    assert "unavailable" in rec["stale_reason"]
+    assert rec["value"] == 24.21
+    assert rec["measured_on"]          # stamped by record_last_good
+    assert json.dumps(rec)             # driver-parseable
+
+
+def test_checked_in_last_good_record_is_valid():
+    """The committed BENCH_LAST_GOOD.json (the outage fallback source)
+    stays loadable and carries the required fields."""
+    import json
+    import os
+
+    assert os.path.exists(bench._LAST_GOOD)
+    rec = json.load(open(bench._LAST_GOOD))
+    for k in ("metric", "value", "unit", "vs_baseline", "measured_on"):
+        assert k in rec, k
+    assert rec["metric"] == "train_steps_per_sec_per_chip_64x64x16f"
+    assert rec["value"] > 0
+
+
+def test_fallback_line_missing_record_raises(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(tmp_path / "nope.json"))
+    import pytest as _pytest
+    with _pytest.raises(OSError):
+        bench.fallback_line("down")
