@@ -78,7 +78,11 @@ STEPS_PER_CALL = 10   # lax.scan of train steps inside ONE executable:
 #                       amortizes the axon tunnel's ~20-30 ms per-execute
 #                       dispatch floor, which otherwise dominates and hides
 #                       the actual device step time
-CALLS = 4
+CALLS = 8    # timed host-loop calls (one final scalar fetch = ONE ~35 ms
+#              tunnel sync amortized over CALLS*STEPS_PER_CALL steps: 8
+#              halves the sync's ~2% drag vs 4; dispatches overlap device
+#              compute so more calls cost nothing else). Raising CALLS
+#              keeps the cached executable (scan length unchanged).
 
 
 _LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
