@@ -125,7 +125,8 @@ def _attn_level_index(cfg: GConfig) -> int:
 def apply(params: dict, stats: dict, z: jax.Array, y: jax.Array,
           cfg: GConfig, train: bool,
           axis_name: Optional[str] = None,
-          cond_video: Optional[jax.Array] = None) -> tuple[jax.Array, dict]:
+          cond_video: Optional[jax.Array] = None,
+          time_major_out: bool = False) -> tuple[jax.Array, dict]:
     """G(z, y[, cond]) -> (video (B, T, H, W, 3) in [-1, 1], new_stats).
 
     z: (B, z_dim) float; y: (B,) int32 class ids. `train` is static.
@@ -133,6 +134,13 @@ def apply(params: dict, stats: dict, z: jax.Array, y: jax.Array,
     cond_frames, H, W, 3) real prefix; each level's ConvGRU warms up by
     scanning over its encoded features and the output is the n_frames
     GENERATED continuation (the prefix is not re-emitted).
+
+    time_major_out=True returns (T, B, H, W, 3) — the INTERNAL layout,
+    skipping the final transpose. Consumers that subsample or pool the
+    clip anyway (the train step's D inputs) can do so time-major and
+    transpose the much smaller result: the full-clip C=3 transpose is
+    lane-hostile on TPU (3 of 128 lanes) and shows up as measurable
+    copy time in the step profile.
     """
     b = z.shape[0]
     t = cfg.n_frames
@@ -206,6 +214,8 @@ def apply(params: dict, stats: dict, z: jax.Array, y: jax.Array,
     h = jax.nn.relu(h)
     h = layers.conv2d(params["out_conv"], h)
     video = jnp.tanh(h.astype(jnp.float32)).astype(dtype)
-    video = jnp.moveaxis(video.reshape(t, b, hw, hw, 3), 0, 1)
+    video = video.reshape(t, b, hw, hw, 3)
+    if not time_major_out:
+        video = jnp.moveaxis(video, 0, 1)
 
     return video, {"levels": new_stats_levels, "out_bn": s_out}

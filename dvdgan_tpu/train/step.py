@@ -78,6 +78,17 @@ def take_frames(video: jax.Array, idx: jax.Array) -> jax.Array:
     return jax.vmap(lambda v, i: v[i])(video, idx)
 
 
+def take_frames_tm(video_tm: jax.Array, idx: jax.Array) -> jax.Array:
+    """video_tm: (T, B, H, W, C), idx: (B, k) -> (B, k, H, W, C).
+
+    Exactly take_frames(moveaxis(video_tm, 0, 1), idx) WITHOUT
+    materializing the batch-major full clip: gathers k of T frames
+    straight out of the generator's native time-major layout (each output
+    frame has exactly one source, so the backward is a disjoint scatter —
+    no accumulation-order drift vs the transpose path)."""
+    return jax.vmap(lambda v, i: v[i], in_axes=(1, 0))(video_tm, idx)
+
+
 def _mean_if_parallel(tree, axes: tuple):
     if not axes:
         return tree
@@ -202,6 +213,18 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
     if tc.fake_gen not in ("pooled", "per_step"):
         raise ValueError(f"fake_gen must be 'pooled' or 'per_step', "
                          f"got {tc.fake_gen!r}")
+    # Time-major fake consumption (DVDGAN_TM_FAKES=on, A/B knob,
+    # exact math): G's internal layout is (T, B, ...); its final
+    # transpose to (B, T, ...) moves a full-res C=3 tensor — the most
+    # lane-hostile copy on TPU (3 of 128 lanes). But the D inputs only
+    # ever see k of T gathered frames (DS) and a φ-pooled clip (DT), so
+    # with the knob on the generator returns time-major and the gather /
+    # pool happen FIRST: the transpose that remains moves 4× (DT) /
+    # T/k× (DS) fewer bytes. Off under time-axis CP (the halo slice
+    # expects the public layout).
+    from dvdgan_tpu.ops.layers import env_choice
+    tm_fakes = time_axis is None and env_choice(
+        "DVDGAN_TM_FAKES", "off", ("on", "off")) == "on"
     g_sn, _ = sn.sn_normalize(state["g"]["params"], state["g"]["sn_u"],
                               update=False, compute_dtype=real.dtype)
     if tc.fake_gen == "pooled":
@@ -211,13 +234,15 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
         fake_all, _ = generator.apply(g_sn, state["g"]["stats"], z_all,
                                       y_all, g_cfg, train=True,
                                       axis_name=axis_name,
-                                      cond_video=cond_all)
+                                      cond_video=cond_all,
+                                      time_major_out=tm_fakes)
     else:   # "per_step": the reference's per-batch CBN statistics
         fake_all = jnp.concatenate([
             generator.apply(g_sn, state["g"]["stats"], draw_z(3 * i), y,
                             g_cfg, train=True, axis_name=axis_name,
-                            cond_video=cond)[0]
-            for i in range(tc.d_steps)])
+                            cond_video=cond,
+                            time_major_out=tm_fakes)[0]
+            for i in range(tc.d_steps)], axis=1 if tm_fakes else 0)
     fake_all = jax.lax.stop_gradient(fake_all)
 
     # D-phase φ pre-pooling (skipped under time-axis CP — the halo
@@ -226,11 +251,12 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
     # flows through these pools (real is data, fakes are stop_gradient'd).
     # DVDGAN_DT_PREPOOL=off restores per-forward pooling (A/B knob; the
     # math is identical either way — this is purely a scheduling choice).
-    from dvdgan_tpu.ops.layers import env_choice
     pre_pooled = time_axis is None and env_choice(
         "DVDGAN_DT_PREPOOL", "on", ("on", "off")) == "on"
     if pre_pooled:
         real_dt = resize.avg_pool_2x_video(real)
+        # positional pool over axes (-3,-2): valid for both the public
+        # (B,T,H,W,C) layout and the time-major (T,B,H,W,C) one
         fake_all_dt = resize.avg_pool_2x_video(fake_all)
         cond_dt = real_dt[:, :cf] if cf else None
     else:
@@ -238,13 +264,17 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
 
     # ---------------------------------------------------- D phase ×d_steps --
     for i in range(tc.d_steps):
-        fake = fake_all[i * b:(i + 1) * b]
-        fake_dt = fake_all_dt[i * b:(i + 1) * b]
-
         idx_r = draw_idx(3 * i + 1)
         idx_f = draw_idx(3 * i + 2)
         real_frames = take_frames(real_gen, idx_r)
-        fake_frames = take_frames(fake, idx_f)
+        if tm_fakes:
+            sl = slice(i * b, (i + 1) * b)
+            fake_frames = take_frames_tm(fake_all[:, sl], idx_f)
+            fake_dt = jnp.moveaxis(fake_all_dt[:, sl], 0, 1)
+        else:
+            fake = fake_all[i * b:(i + 1) * b]
+            fake_dt = fake_all_dt[i * b:(i + 1) * b]
+            fake_frames = take_frames(fake, idx_f)
         fake_full = (jnp.concatenate([cond_dt, fake_dt], axis=1)
                      if cf else fake_dt)
 
@@ -318,11 +348,24 @@ def train_step(state: dict, real: jax.Array, y: jax.Array, key: jax.Array,
         fake, g_stats = generator.apply(g_sn, state["g"]["stats"], z_j, y_j,
                                         g_cfg, train=True,
                                         axis_name=axis_name,
-                                        cond_video=cond_j)
-        s_ds = discriminator.ds_apply(ds_sn, take_frames(fake, idx_j), y_j,
-                                      ds_cfg)
-        dt_in = (jnp.concatenate([cond_j, fake], axis=1) if cf else fake)
-        s_dt = dt_score(dt_sn, dt_in, y_j)
+                                        cond_video=cond_j,
+                                        time_major_out=tm_fakes)
+        if tm_fakes:
+            # gather / φ-pool in G's native time-major layout, transpose
+            # the 4×-smaller pooled clip (exact math; pool commutes with
+            # concat per-frame, so cond pools separately for FP)
+            s_ds = discriminator.ds_apply(
+                ds_sn, take_frames_tm(fake, idx_j), y_j, ds_cfg)
+            fake_pooled = jnp.moveaxis(resize.avg_pool_2x_video(fake), 0, 1)
+            dt_in = (jnp.concatenate(
+                [resize.avg_pool_2x_video(cond_j), fake_pooled], axis=1)
+                if cf else fake_pooled)
+            s_dt = dt_score(dt_sn, dt_in, y_j, pooled=True)
+        else:
+            s_ds = discriminator.ds_apply(ds_sn, take_frames(fake, idx_j),
+                                          y_j, ds_cfg)
+            dt_in = (jnp.concatenate([cond_j, fake], axis=1) if cf else fake)
+            s_dt = dt_score(dt_sn, dt_in, y_j)
         g_loss = losses.g_hinge(s_ds) + losses.g_hinge(s_dt)
         return g_loss, (g_u, g_stats)
 

@@ -244,3 +244,43 @@ def test_grad_norm_metrics_gated(setup):
     # the other metrics are untouched by the telemetry
     for k in m_off:
         assert np.asarray(m_off[k]) == np.asarray(m_on[k]), k
+
+
+def test_time_major_fakes_knob_equivalent(monkeypatch):
+    """DVDGAN_TM_FAKES=on (gather/φ-pool the fakes in G's native
+    time-major layout, transpose the small results) is the same math as
+    the default step — gathers/transposes are permutation-exact, but the
+    φ-pool's 4-element reduction order is LAYOUT-DEPENDENT (measured:
+    1-ulp loss drift), so this is a reassociation-tolerance comparison
+    with the same bounds as the scan-vs-loop one-step test (Adam's
+    sign-like first update can flip near-zero params by ±lr). Covers
+    synthesis and FP, pooled and per_step fake_gen, d_steps=2."""
+    tc = TrainConfig(d_steps=2, batch_size=2, ema_start=0)
+    fp_g = GConfig(img_size=32, n_frames=2, ch=8, z_dim=120, n_classes=5,
+                   emb_dim=16, attn_res=16, cond_frames=2)
+    cases = [
+        (G_CFG, DT_CFG, tc, (2, 4, 32, 32, 3)),
+        (fp_g, DTConfig(img_size=32, n_frames=4, ch=8, n_classes=5), tc,
+         (2, 4, 32, 32, 3)),
+        (G_CFG, DT_CFG,
+         TrainConfig(d_steps=2, batch_size=2, ema_start=0,
+                     fake_gen="per_step"), (2, 4, 32, 32, 3)),
+    ]
+    for g_cfg, dt_cfg, tcc, shp in cases:
+        st = create(jax.random.PRNGKey(0), g_cfg, DS_CFG, dt_cfg, tcc)
+        real = jax.random.normal(jax.random.PRNGKey(1), shp)
+        y = jnp.array([0, 3])
+        outs = {}
+        for knob in ("off", "on"):
+            monkeypatch.setenv("DVDGAN_TM_FAKES", knob)
+            step = make_train_step(g_cfg, DS_CFG, dt_cfg, tcc, donate=False)
+            outs[knob] = step(st, real, y, jax.random.PRNGKey(2))
+        (st_off, m_off), (st_on, m_on) = outs["off"], outs["on"]
+        for k in m_off:
+            np.testing.assert_allclose(float(m_on[k]), float(m_off[k]),
+                                       rtol=1e-4, atol=1e-5, err_msg=k)
+        for lo, ln in zip(jax.tree.leaves(st_off), jax.tree.leaves(st_on)):
+            np.testing.assert_allclose(np.asarray(ln, np.float64),
+                                       np.asarray(lo, np.float64),
+                                       rtol=1e-2, atol=5e-4)
+    monkeypatch.delenv("DVDGAN_TM_FAKES")
