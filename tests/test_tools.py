@@ -360,3 +360,61 @@ def test_export_serving_bf16_artifact():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="dtype"):
         export_sampler(st, g_cfg, batch=2, dtype="fp8")
+
+
+def test_autotune_coordinate_descent(tmp_path):
+    """tools/autotune adopts only knob values whose median beats the
+    champion by more than the noise threshold, composes adopted settings
+    into later trials, refuses stale fallback benches, and writes the
+    chosen env."""
+    import json
+    import subprocess
+    import sys
+
+    from tools import autotune
+
+    stub = tmp_path / "stub_bench.py"
+    stub.write_text(
+        "import json, os\n"
+        "v = 10.0\n"
+        "if os.environ.get('DVDGAN_TM_FAKES') == 'on': v += 1.0\n"
+        "if os.environ.get('DVDGAN_TPHASE_INTERLEAVE') == 'moveaxis':"
+        " v -= 2.0\n"
+        "if os.environ.get('DVDGAN_TEMPORAL_ATTN') == 'einsum': v += 0.05\n"
+        "print('noise line')\n"
+        "print(json.dumps({'value': v, 'measured_this_run': True}))\n")
+    logs = []
+    rep = autotune.tune(reps=2, threshold_pct=1.0,
+                        bench_cmd=[sys.executable, str(stub)],
+                        log=logs.append)
+    assert rep["baseline"] == 10.0
+    # TM_FAKES=on (+10%) adopted; moveaxis (-20%) and einsum (+0.5% of
+    # 11.0 -> below the 1% threshold) rejected
+    assert rep["chosen_env"] == {"DVDGAN_TM_FAKES": "on"}
+    assert rep["champion"] == 11.0
+    # later trials run on top of adopted settings
+    einsum_trial = [t for t in rep["trials"]
+                    if t["var"] == "DVDGAN_TEMPORAL_ATTN"
+                    and t["value"] == "einsum"][0]
+    assert einsum_trial["env"] == {"DVDGAN_TM_FAKES": "on"}
+    assert einsum_trial["median"] == 11.05
+
+    # the CLI writes shell export lines
+    out = tmp_path / "tuned.env"
+    autotune.main(["--reps", "1", "--bench_cmd",
+                   f"{sys.executable} {stub}", "--out", str(out)])
+    assert "export DVDGAN_TM_FAKES=on\n" in out.read_text()
+
+    # a stale device-down fallback line must be refused, not tuned on
+    stale = tmp_path / "stale_bench.py"
+    stale.write_text("import json\n"
+                     "print(json.dumps({'value': 24.8,"
+                     " 'measured_this_run': False}))\n")
+    with pytest.raises(RuntimeError, match="stale"):
+        autotune.run_bench([sys.executable, str(stale)], {}, 1, 60.0)
+
+    # a crashing bench surfaces, never silently skips a rep
+    boom = tmp_path / "boom.py"
+    boom.write_text("raise SystemExit(2)\n")
+    with pytest.raises(RuntimeError, match="bench failed"):
+        autotune.run_bench([sys.executable, str(boom)], {}, 1, 60.0)
