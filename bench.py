@@ -94,9 +94,24 @@ def fallback_line(reason: str) -> dict:
     instead of nothing, UNAMBIGUOUSLY labeled as not measured by this run
     (axon outages lasting 11+ hours were observed in round 2 — a missing
     number and a silently-failed bench are worse than a labeled stale one).
-    Raises if no last-good record exists."""
-    with open(_LAST_GOOD) as f:
-        rec = json.load(f)
+    If no last-good record exists (fresh checkout) or it is corrupt, still
+    honor the one-JSON-line stdout contract with a labeled error record
+    rather than a traceback."""
+    try:
+        with open(_LAST_GOOD) as f:
+            rec = json.load(f)
+        if not isinstance(rec, dict) or "value" not in rec:
+            raise ValueError("last-good record malformed")
+    except (OSError, ValueError) as e:
+        return {
+            "metric": "train_steps_per_sec_per_chip_64x64x16f",
+            "value": None,
+            "unit": "steps/sec/chip",
+            "vs_baseline": None,
+            "measured_this_run": False,
+            "error": f"device unavailable and no last-good record: {e}",
+            "stale_reason": reason,
+        }
     rec["measured_this_run"] = False
     rec["stale_reason"] = reason
     return rec
@@ -109,8 +124,9 @@ def record_last_good(line: dict) -> None:
         rec["measured_on"] = time.strftime("%Y-%m-%d")
         with open(_LAST_GOOD, "w") as f:
             f.write(json.dumps(rec, indent=1) + "\n")
-    except OSError:
-        pass
+    except OSError as e:
+        print(f"bench: could not persist last-good record: {e}",
+              file=sys.stderr)
 
 
 def main():

@@ -103,8 +103,34 @@ def test_checked_in_last_good_record_is_valid():
     assert rec["value"] > 0
 
 
-def test_fallback_line_missing_record_raises(tmp_path, monkeypatch):
+def test_fallback_line_missing_record_emits_error_json(tmp_path, monkeypatch):
+    """Fresh checkout + device outage: the one-JSON-line contract still
+    holds — a labeled error record, never a traceback (VERDICT r2 weak #5)."""
+    import json
+
     monkeypatch.setattr(bench, "_LAST_GOOD", str(tmp_path / "nope.json"))
-    import pytest as _pytest
-    with _pytest.raises(OSError):
-        bench.fallback_line("down")
+    rec = bench.fallback_line("down")
+    assert rec["measured_this_run"] is False
+    assert rec["value"] is None
+    assert "no last-good record" in rec["error"]
+    assert rec["stale_reason"] == "down"
+    assert json.dumps(rec)             # driver-parseable
+
+
+def test_fallback_line_corrupt_record_emits_error_json(tmp_path, monkeypatch):
+    p = tmp_path / "BENCH_LAST_GOOD.json"
+    p.write_text("{not json")
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(p))
+    rec = bench.fallback_line("down")
+    assert rec["value"] is None and "error" in rec
+    # malformed-but-valid-JSON record (missing "value") also caught
+    p.write_text('{"metric": "m"}')
+    rec = bench.fallback_line("down")
+    assert rec["value"] is None and "malformed" in rec["error"]
+
+
+def test_record_last_good_logs_oserror(tmp_path, monkeypatch, capsys):
+    monkeypatch.setattr(bench, "_LAST_GOOD",
+                        str(tmp_path / "no_dir" / "x.json"))
+    bench.record_last_good({"value": 1.0})   # must not raise
+    assert "could not persist" in capsys.readouterr().err
