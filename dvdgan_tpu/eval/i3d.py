@@ -197,16 +197,24 @@ def apply(params: dict, video: jax.Array, feature: str = "logits",
             x = _max_pool(x, window, stride)
         else:
             x = _mixed(params, name, x)
-    x = x.mean(axis=(2, 3))                          # spatial mean (B,T',1024)
     if feature == "avgpool":
-        return x.mean(axis=1)
-    # Published logits head: avg_pool3d window (2,7,7) stride 1 VALID over
-    # Mixed_5c, 1×1×1 logits conv, then mean over the T'-1 temporal
-    # positions. The conv is linear, so this equals a WEIGHTED temporal
-    # mean of the spatially-pooled features — endpoint frames appear in
-    # one window (weight 1/(2(T'-1))), interior frames in two (1/(T'-1)).
-    # A uniform mean is only equivalent at T' <= 2 (16-frame clips); the
-    # 48-frame protocol (T'=6) needs the true weighting.
+        return x.mean(axis=(1, 2, 3))                # global mean (B, 1024)
+    return logits_head(params, x)
+
+
+def logits_head(params: dict, x5c: jax.Array) -> jax.Array:
+    """Mixed_5c activations (B, T', H', W', 1024) -> (B, 400) logits.
+
+    Published head: avg_pool3d window (2, 7, 7) stride 1 VALID over
+    Mixed_5c (i.e. (2, H', W') — spatially global at the 224 protocol),
+    1×1×1 logits conv, then mean over the T'-1 temporal positions. Pooling
+    and the conv are linear, so this equals a WEIGHTED temporal mean of
+    the spatially-pooled features — endpoint frames appear in one window
+    (weight 1/(2(T'-1))), interior frames in two (1/(T'-1)). A uniform
+    mean is only equivalent at T' <= 2 (16-frame clips); the 48-frame
+    protocol (T'=6) needs the true weighting. Oracle-tested against the
+    literal reduce_window+conv graph in tests/test_eval_twins.py."""
+    x = x5c.mean(axis=(2, 3))                        # spatial mean (B,T',1024)
     tl = x.shape[1]
     if tl > 2:
         w_t = jnp.full((tl,), 1.0 / (tl - 1), x.dtype)
