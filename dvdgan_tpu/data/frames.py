@@ -136,13 +136,21 @@ def _load_frames_u8(path: str, npy_range: str = "auto") -> np.ndarray:
         if not _decodable(path):
             raise RuntimeError(f"no video decode backend for {path}")
         return _READ_VIDEO(path)
-    from PIL import Image
+    return _decode_frames(path, _list_frame_files(path))
+
+
+def _list_frame_files(path: str) -> list:
     frames = sorted(f for f in os.listdir(path)
                     if f.lower().endswith(_IMG_EXT))
     if not frames:
         raise ValueError(f"no frames in {path}")
+    return frames
+
+
+def _decode_frames(path: str, names: list) -> np.ndarray:
+    from PIL import Image
     out = []
-    for f in frames:
+    for f in names:
         with Image.open(os.path.join(path, f)) as im:
             out.append(np.asarray(im.convert("RGB"), np.uint8))
     return np.stack(out)
@@ -181,8 +189,6 @@ class FrameFolderDataset:
 
     def __getitem__(self, idx: int):
         path, label = self.items[idx]
-        frames = _load_frames_u8(path, self.npy_range)
-        t0 = frames.shape[0]
         t = self.n_frames
         # window start (short clips wrap modulo T0 — loop padding), drawn
         # from a per-(seed, epoch, idx) stream — see set_epoch
@@ -192,7 +198,23 @@ class FrameFolderDataset:
         rng = np.random.RandomState(
             (self.seed * 1000003 + self._epoch * 9973
              + idx * 101 + 17) & 0x7FFFFFFF)
-        start = rng.randint(0, t0 - t + 1) if t0 >= t else 0
-        # fused window+crop+resize+normalize (C++ when built, numpy else)
-        clip = native.clip_window(frames, t, self.img_size, start)
+        if os.path.isdir(path):
+            # frame directories: the window start depends only on the
+            # FRAME COUNT, so decode ONLY the sampled window — a UCF-101
+            # video is ~10× longer than a 16-frame window, and full-dir
+            # decode was the measured 256px/48f input bottleneck
+            # (tools/bench_loader.py: 6.3 clips/s vs 19.1 demand on one
+            # host core). Same pixels, same RNG stream as full decode
+            # (equivalence-tested).
+            names = _list_frame_files(path)
+            t0 = len(names)
+            start = rng.randint(0, t0 - t + 1) if t0 >= t else 0
+            frames = _decode_frames(path, names[start:start + t])
+            clip = native.clip_window(frames, t, self.img_size, 0)
+        else:
+            frames = _load_frames_u8(path, self.npy_range)
+            t0 = frames.shape[0]
+            start = rng.randint(0, t0 - t + 1) if t0 >= t else 0
+            # fused window+crop+resize+normalize (C++ / numpy fallback)
+            clip = native.clip_window(frames, t, self.img_size, start)
         return clip, label

@@ -141,7 +141,9 @@ class Trainer:
             self._local_rows = parallel.local_batch_rows(self.mesh,
                                                          cfg.batch_size)
         self.loader = Loader(self.dataset, cfg.batch_size, seed=cfg.seed,
-                             rows=self._local_rows)
+                             rows=self._local_rows,
+                             num_threads=cfg.loader_threads,
+                             prefetch=cfg.prefetch)
 
         # fixed eval latents/labels for comparable sample dumps over training
         kz, ky = jax.random.split(jax.random.PRNGKey(cfg.seed + 1))

@@ -44,6 +44,13 @@ class Config:
     npy_range: str = "auto"           # float-.npy value convention:
     #                                   auto | unit ([0,1]) | symmetric
     #                                   ([-1,1]); per-dataset, not per-file
+    loader_threads: int = 2           # decode thread-pool width (the decode
+    #                                   path releases the GIL; raise for
+    #                                   256px/48f where clip assembly is the
+    #                                   bottleneck — tools/bench_loader.py
+    #                                   measures decode clips/s vs demand)
+    prefetch: int = 2                 # ready-batch queue depth ahead of the
+    #                                   device (hides host decode latency)
     n_classes: int = 101
     # model
     img_size: int = 64

@@ -106,6 +106,46 @@ def test_frame_folder_image_files(tmp_path):
     assert clip.std() > 0.1  # actual image content, not zeros
 
 
+def test_frame_dir_windowed_decode_equivalence(tmp_path, monkeypatch):
+    """Frame dirs decode ONLY the sampled window (measured input-pipeline
+    fix): pixels and the RNG stream must equal full-decode + window, and
+    exactly n_frames files may be opened when the clip is long enough."""
+    from PIL import Image
+    vdir = tmp_path / "classA" / "vid0"
+    vdir.mkdir(parents=True)
+    rng = np.random.RandomState(3)
+    arrs = [rng.randint(0, 256, (24, 32, 3), dtype=np.uint8)
+            for _ in range(10)]
+    for i, arr in enumerate(arrs):
+        Image.fromarray(arr).save(vdir / f"frame_{i:03d}.png")
+
+    ds = FrameFolderDataset(str(tmp_path), n_frames=4, img_size=16, seed=7)
+    ds.set_epoch(2)
+
+    # oracle: full decode + the same (seed, epoch, idx) window draw
+    full = np.stack([np.asarray(Image.open(vdir / f"frame_{i:03d}.png")
+                                .convert("RGB")) for i in range(10)])
+    oracle_rng = np.random.RandomState(
+        (7 * 1000003 + 2 * 9973 + 0 * 101 + 17) & 0x7FFFFFFF)
+    start = oracle_rng.randint(0, 10 - 4 + 1)
+    from dvdgan_tpu import native
+    want = native.clip_window(full, 4, 16, start)
+
+    opens = []
+    real_open = Image.open
+    monkeypatch.setattr(Image, "open",
+                        lambda p, *a, **k: opens.append(p) or real_open(p))
+    clip, _ = ds[0]
+    assert len(opens) == 4          # the window only, not all 10 frames
+    np.testing.assert_array_equal(clip, want)
+
+    # short clip (t0 < n_frames): all frames decoded, loop-padded as before
+    ds2 = FrameFolderDataset(str(tmp_path), n_frames=16, img_size=16)
+    opens.clear()
+    clip2, _ = ds2[0]
+    assert len(opens) == 10 and clip2.shape == (16, 16, 16, 3)
+
+
 class _SlowDataset:
     """Each item costs ~10 ms of GIL-released sleep (models codec decode)."""
 

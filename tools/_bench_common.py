@@ -43,7 +43,8 @@ def build_configs(ov: Optional[dict] = None):
                     remat=bool(iv("remat", 0)))
     ds_cfg = DSConfig(img_size=img, ch=ch, n_classes=101, k_frames=8)
     dt_cfg = DTConfig(img_size=img, n_frames=nf, ch=ch, n_classes=101)
-    tc = TrainConfig(d_steps=2, batch_size=batch)
+    tc = TrainConfig(d_steps=iv("d_steps", 2), batch_size=batch,
+                     grad_accum=iv("grad_accum", 1))
     return g_cfg, ds_cfg, dt_cfg, tc, dict(img=img, nf=nf, ch=ch, batch=batch)
 
 
