@@ -418,3 +418,32 @@ def test_autotune_coordinate_descent(tmp_path):
     boom.write_text("raise SystemExit(2)\n")
     with pytest.raises(RuntimeError, match="bench failed"):
         autotune.run_bench([sys.executable, str(boom)], {}, 1, 60.0)
+
+
+def test_ab_inprocess_shared_init(monkeypatch):
+    """tools/ab_inprocess runs each trace-time-knob variant off ONE shared
+    init, reports per-variant medians, and restores the caller's knob env
+    afterwards (a later trace must not inherit the last variant's env)."""
+    import os
+
+    from tools import ab_inprocess
+
+    monkeypatch.setenv("DVDGAN_DT_PREPOOL", "on")   # caller-set value
+    monkeypatch.delenv("DVDGAN_TM_FAKES", raising=False)
+    logs = []
+    res = ab_inprocess.run(
+        [("base", {}), ("flip", {"DVDGAN_DT_PREPOOL": "off",
+                                 "DVDGAN_TM_FAKES": "on"})],
+        {"img_size": "32", "n_frames": "4", "ch": "8", "batch": "2"},
+        reps=1, steps=1, calls=1, log=logs.append)
+    assert [r["variant"] for r in res] == ["base", "flip"]
+    assert all(r["median"] > 0 for r in res)
+    assert res[1]["env"]["DVDGAN_TM_FAKES"] == "on"
+    assert len(logs) == 2
+    # env restored: the flip variant's settings did not leak out
+    assert os.environ.get("DVDGAN_DT_PREPOOL") == "on"
+    assert "DVDGAN_TM_FAKES" not in os.environ
+
+    # variant spec parsing
+    name, env = ab_inprocess.parse_variant("fast:DVDGAN_DT_PREPOOL=off")
+    assert name == "fast" and env == {"DVDGAN_DT_PREPOOL": "off"}
