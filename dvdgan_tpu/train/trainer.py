@@ -235,7 +235,28 @@ class Trainer:
         #                 sync never stalls the device pipeline
         t_last = time.time()
         dtype = jnp.bfloat16 if c.bf16 else jnp.float32
+        # per-step keys are derived ON THE HOST CPU backend: fold_in is
+        # platform-independent threefry bit math (identical values), but
+        # computed eagerly on the accelerator it costs 2 extra device
+        # executes per step — through the axon tunnel's ~20-30 ms
+        # per-execute floor that alone capped the trainer at 14-18
+        # steps/s vs the device's ~25 (round-3 measurement). np.asarray
+        # keeps the key uncommitted so it rides the step dispatch.
+        from dvdgan_tpu.ops.layers import env_choice
+        host_keys = env_choice("DVDGAN_HOST_KEYS", "on", ("on", "off"))
+        cpu0 = jax.devices("cpu")[0]
+        with jax.default_device(cpu0):
+            base_key_cpu = jax.random.PRNGKey(c.seed)
         base_key = jax.random.PRNGKey(c.seed)   # chunked path: built once
+
+        # DVDGAN_STEP_TIMES=<path.json>: record per-iteration host wall
+        # times and write a percentile summary at the end. Through the
+        # axon tunnel the INTERVAL steps/s is stall-noise dominated (one
+        # multi-second hiccup poisons a 50-step mean); the median here is
+        # the honest per-step number — in steady state dispatch
+        # backpressure makes it track device time.
+        _times_path = os.environ.get("DVDGAN_STEP_TIMES", "")
+        step_times = [] if _times_path else None
 
         K = self.steps_per_call
         if K > 1 and total % K:
@@ -245,6 +266,8 @@ class Trainer:
         prof_stop = prof_start + K * max(1, 5 // K)
         try:
             for i in range(self.start_step, total, K):
+                if step_times is not None:
+                    _t_iter = time.time()
                 if c.profile and i == prof_start:
                     jax.profiler.start_trace(os.path.join(self.out_dir, "trace"))
                 if c.profile and i == prof_stop:
@@ -266,7 +289,13 @@ class Trainer:
                     else:
                         real, y = jnp.asarray(clip), jnp.asarray(labels)
                     # per-step key from (seed, step): resume-stable streams
-                    key = jax.random.fold_in(jax.random.PRNGKey(c.seed), i)
+                    if host_keys == "on":
+                        with jax.default_device(cpu0):
+                            key = np.asarray(
+                                jax.random.fold_in(base_key_cpu, i))
+                    else:   # measured-loser path kept for A/B (2 extra
+                        #     device executes per step through the tunnel)
+                        key = jax.random.fold_in(base_key, i)
                     self.state, metrics = self.step_fn(self.state, real, y, key)
                 else:
                     # chunked stepping: K batches, ONE dispatch; per-step keys
@@ -290,6 +319,9 @@ class Trainer:
                     self.state, metrics = self.step_fn(
                         self.state, real, y, base_key,
                         jnp.asarray(i, jnp.int32))
+                if step_times is not None:
+                    # data prep + key + dispatch; excludes log/eval/save
+                    step_times.append(time.time() - _t_iter)
 
                 step = i + K
                 if step % c.log_step == 0:
@@ -342,6 +374,24 @@ class Trainer:
         # sys.exc_info() sniffing — train() may legitimately be called
         # from inside an except handler, e.g. a preemption-retry wrapper)
         self._flush_saver(unwinding=False)
+        if step_times is not None and self.is_main and len(step_times) > 1:
+            import json as _json
+            per_call = sorted(step_times[1:])   # [0] holds the compile
+            q = lambda p: per_call[min(len(per_call) - 1,
+                                       int(p * len(per_call)))]
+            summary = {
+                "calls": len(per_call), "steps_per_call": K,
+                "compile_s": step_times[0],
+                "median_s": q(0.5), "p90_s": q(0.9), "p99_s": q(0.99),
+                "max_s": per_call[-1],
+                "mean_s": sum(per_call) / len(per_call),
+                "median_steps_per_s": K / q(0.5) if q(0.5) > 0 else 0.0,
+                "mean_steps_per_s": (K * len(per_call) / sum(per_call)
+                                     if sum(per_call) > 0 else 0.0),
+            }
+            with open(_times_path, "w") as f:
+                _json.dump(summary, f, indent=1)
+            print("step-time summary:", _json.dumps(summary))
         if lagged is not None:   # final interval's metrics, never yet written
             lstep, lmetrics = lagged
             self.writer.scalars(self._metrics_host(lmetrics), lstep)

@@ -245,3 +245,43 @@ def test_trainer_frames_dataset_end_to_end(tmp_path):
                  bf16=False, out_dir=str(tmp_path / "run2"))
     with pytest.raises(ValueError, match="n_classes"):
         Trainer(bad)
+
+
+def test_step_times_summary_and_host_keys_knob(tmp_path, monkeypatch):
+    """DVDGAN_STEP_TIMES writes a percentile summary; DVDGAN_HOST_KEYS=off
+    (the on-device fold_in A/B path) produces the SAME final params as the
+    default host-CPU key derivation — threefry fold_in is
+    platform-independent bit math, so the keys are bitwise identical."""
+    import json
+
+    import jax
+
+    def run(out, host_keys, times=""):
+        monkeypatch.setenv("DVDGAN_HOST_KEYS", host_keys)
+        if times:
+            monkeypatch.setenv("DVDGAN_STEP_TIMES", times)
+        else:
+            monkeypatch.delenv("DVDGAN_STEP_TIMES", raising=False)
+        cfg = Config(dataset="synthetic", n_classes=4, img_size=32,
+                     n_frames=4, ch=8, d_ch=8, k_frames=2, batch_size=2,
+                     d_steps=1, total_step=3, log_step=3, sample_step=0,
+                     model_save_step=0, ema_start=0, bf16=False,
+                     out_dir=str(tmp_path / out))
+        tr = Trainer(cfg)
+        tr.train()
+        s = jax.device_get(tr.state)
+        tr.close()
+        return s
+
+    times_path = str(tmp_path / "times.json")
+    s_on = run("hk_on", "on", times=times_path)
+    s_off = run("hk_off", "off")
+
+    # bitwise: same executable, same data, identical keys
+    for a, b in zip(jax.tree.leaves(s_on), jax.tree.leaves(s_off)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    summary = json.load(open(times_path))
+    assert summary["calls"] == 2 and summary["steps_per_call"] == 1
+    assert summary["compile_s"] > 0 and summary["median_s"] > 0
+    assert summary["median_steps_per_s"] > 0
