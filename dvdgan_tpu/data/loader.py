@@ -30,6 +30,11 @@ class Loader:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        if prefetch < 1:
+            # queue.Queue(maxsize=0) is UNBOUNDED — the worker would decode
+            # the whole epoch ahead of the consumer (~100+ MB/batch at
+            # 256px/48f). There is no "no prefetch": depth 1 is the floor.
+            raise ValueError(f"prefetch must be >= 1, got {prefetch}")
         self.prefetch = prefetch
         # rows: this process's [start, stop) slice of every GLOBAL batch
         # (multi-host input sharding, parallel.local_batch_rows). The

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
 import time
 
 import jax
@@ -244,9 +245,14 @@ class Trainer:
         # keeps the key uncommitted so it rides the step dispatch.
         from dvdgan_tpu.ops.layers import env_choice
         host_keys = env_choice("DVDGAN_HOST_KEYS", "on", ("on", "off"))
-        cpu0 = jax.devices("cpu")[0]
-        with jax.default_device(cpu0):
-            base_key_cpu = jax.random.PRNGKey(c.seed)
+        if host_keys == "on":
+            try:   # CPU-less platform configs (JAX_PLATFORMS=tpu): the
+                cpu0 = jax.devices("cpu")[0]   # knob quietly degrades
+            except RuntimeError:
+                host_keys = "off"
+        if host_keys == "on":
+            with jax.default_device(cpu0):
+                base_key_cpu = jax.random.PRNGKey(c.seed)
         base_key = jax.random.PRNGKey(c.seed)   # chunked path: built once
 
         # DVDGAN_STEP_TIMES=<path.json>: record per-iteration host wall
@@ -262,6 +268,32 @@ class Trainer:
         if K > 1 and total % K:
             raise ValueError(f"total_step override {total} is not a "
                              f"multiple of steps_per_call {K}")
+
+        # H2D overlap (K=1 path): batch i+1's decode-fetch + astype +
+        # device placement run on a side thread while step i executes —
+        # the critical path becomes max(device, host-prep) instead of the
+        # sum. At 256px/48f a batch is ~150 MB: host astype + transfer
+        # serialization alone is several hundred ms on the 1-core host.
+        # Placement is process-local (make_array_from_process_local_data
+        # issues no collectives), so the worker can never interleave a
+        # collective with the train step's — multihost-safe.
+        def place(batch):
+            clip_, labels_ = batch
+            clip_ = clip_.astype(dtype)
+            if self.mesh is not None:
+                if self._local_rows is not None:
+                    return parallel.shard_batch_local(
+                        self.mesh, clip_, labels_, c.batch_size)
+                return parallel.shard_batch(self.mesh, clip_, labels_)
+            return jnp.asarray(clip_), jnp.asarray(labels_)
+
+        overlap = (K == 1 and env_choice("DVDGAN_H2D_OVERLAP", "on",
+                                         ("on", "off")) == "on")
+        h2d_pool = None
+        pending = None
+        if overlap:
+            from concurrent.futures import ThreadPoolExecutor
+            h2d_pool = ThreadPoolExecutor(1, thread_name_prefix="h2d")
         prof_start = self.start_step + K * max(1, 10 // K)
         prof_stop = prof_start + K * max(1, 5 // K)
         try:
@@ -277,17 +309,14 @@ class Trainer:
                     self._metrics_host(metrics)
                     jax.profiler.stop_trace()
                 if K == 1:
-                    clip, labels = next(data)
-                    clip = clip.astype(dtype)
-                    if self.mesh is not None:
-                        if self._local_rows is not None:
-                            real, y = parallel.shard_batch_local(
-                                self.mesh, clip, labels, c.batch_size)
-                        else:
-                            real, y = parallel.shard_batch(self.mesh, clip,
-                                                           labels)
+                    if pending is not None:
+                        real, y = pending.result()
+                        pending = None
                     else:
-                        real, y = jnp.asarray(clip), jnp.asarray(labels)
+                        real, y = place(next(data))
+                    if overlap and i + K < total:
+                        # one-ahead: prep batch i+1 while step i runs
+                        pending = h2d_pool.submit(lambda: place(next(data)))
                     # per-step key from (seed, step): resume-stable streams
                     if host_keys == "on":
                         with jax.default_device(cpu0):
@@ -320,7 +349,16 @@ class Trainer:
                         self.state, real, y, base_key,
                         jnp.asarray(i, jnp.int32))
                 if step_times is not None:
-                    # data prep + key + dispatch; excludes log/eval/save
+                    # data prep + key + dispatch; excludes log/eval/save.
+                    # The LAST interval fetches a device scalar first: the
+                    # async dispatch queue must drain into a timed window,
+                    # otherwise mean_steps_per_s could overcount by however
+                    # deep the device had fallen behind the host loop
+                    if i + K >= total:
+                        # scalar FETCH, not block_until_ready (which does
+                        # not synchronize through the axon tunnel)
+                        float(np.asarray(
+                            jax.tree.leaves(metrics)[0]).ravel()[0])
                     step_times.append(time.time() - _t_iter)
 
                 step = i + K
@@ -369,6 +407,11 @@ class Trainer:
             # failure here must not mask the propagating error
             self._flush_saver(unwinding=True)
             raise
+        finally:
+            if h2d_pool is not None:
+                # don't wait: an in-flight decode finishes on its own;
+                # nothing consumes it
+                h2d_pool.shutdown(wait=False, cancel_futures=True)
         # normal completion: the final checkpoint must be durable and a
         # failed write must FAIL the run (explicit flag, not
         # sys.exc_info() sniffing — train() may legitimately be called
@@ -389,9 +432,13 @@ class Trainer:
                 "mean_steps_per_s": (K * len(per_call) / sum(per_call)
                                      if sum(per_call) > 0 else 0.0),
             }
-            with open(_times_path, "w") as f:
-                _json.dump(summary, f, indent=1)
             print("step-time summary:", _json.dumps(summary))
+            try:   # best-effort diagnostics: a bad path must not fail a
+                with open(_times_path, "w") as f:   # completed run
+                    _json.dump(summary, f, indent=1)
+            except OSError as e:
+                print(f"DVDGAN_STEP_TIMES write failed: {e}",
+                      file=sys.stderr)
         if lagged is not None:   # final interval's metrics, never yet written
             lstep, lmetrics = lagged
             self.writer.scalars(self._metrics_host(lmetrics), lstep)

@@ -318,6 +318,14 @@ def test_loader_rejects_empty_epoch():
         next(ld.forever())
 
 
+def test_prefetch_zero_rejected():
+    """prefetch<1 would mean an UNBOUNDED queue (queue.Queue(maxsize=0)),
+    i.e. the worker decodes the whole epoch ahead — refuse at init."""
+    ds = [(np.zeros((2, 4, 4, 3), np.float32), 0)] * 4
+    with pytest.raises(ValueError, match="prefetch"):
+        loader.Loader(ds, batch_size=2, prefetch=0)
+
+
 def test_abandoned_epoch_does_not_leak_worker(tmp_path):
     """Closing the epoch generator early must unblock and join the
     prefetch worker (it used to stay parked in q.put forever)."""

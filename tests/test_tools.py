@@ -447,3 +447,38 @@ def test_ab_inprocess_shared_init(monkeypatch):
     # variant spec parsing
     name, env = ab_inprocess.parse_variant("fast:DVDGAN_DT_PREPOOL=off")
     assert name == "fast" and env == {"DVDGAN_DT_PREPOOL": "off"}
+    assert ab_inprocess.parse_variant("defaults:") == ("defaults", {})
+    with pytest.raises(ValueError, match="no ':'"):
+        ab_inprocess.parse_variant("DVDGAN_DT_PREPOOL=off")   # label-less
+    with pytest.raises(ValueError, match="empty env"):
+        ab_inprocess.parse_variant("typo:DVDGAN_DT_PREPOOL")  # no '='
+
+
+def test_ab_inprocess_foreign_knob_isolation(monkeypatch):
+    """A --variant var OUTSIDE the built-in TRACE_TIME_KNOBS tuple must be
+    reset before every later variant and restored after the sweep (it used
+    to leak into subsequent variants and the caller's env permanently)."""
+    import os
+
+    from tools import ab_inprocess
+
+    monkeypatch.delenv("DVDGAN_FAKE_KNOB", raising=False)
+    seen = []
+
+    def spy(name, env, knobs, *a, **k):
+        for k2 in knobs:
+            os.environ.pop(k2, None)
+        os.environ.update(env)
+        seen.append((name, os.environ.get("DVDGAN_FAKE_KNOB")))
+        return {"variant": name, "env": env, "median": 1.0}
+
+    monkeypatch.setattr(ab_inprocess, "_run_variant", spy)
+    monkeypatch.setattr(
+        "tools._bench_common.init_state_and_batch",
+        lambda *a, **k: (({},), None, None))
+    ab_inprocess.run(
+        [("dirty", {"DVDGAN_FAKE_KNOB": "x"}), ("clean", {})],
+        {"img_size": "32", "n_frames": "4", "ch": "8", "batch": "2"},
+        reps=1, steps=1, calls=1, log=lambda s: None)
+    assert seen == [("dirty", "x"), ("clean", None)]
+    assert "DVDGAN_FAKE_KNOB" not in os.environ

@@ -256,8 +256,9 @@ def test_step_times_summary_and_host_keys_knob(tmp_path, monkeypatch):
 
     import jax
 
-    def run(out, host_keys, times=""):
+    def run(out, host_keys, times="", overlap="on"):
         monkeypatch.setenv("DVDGAN_HOST_KEYS", host_keys)
+        monkeypatch.setenv("DVDGAN_H2D_OVERLAP", overlap)
         if times:
             monkeypatch.setenv("DVDGAN_STEP_TIMES", times)
         else:
@@ -276,10 +277,15 @@ def test_step_times_summary_and_host_keys_knob(tmp_path, monkeypatch):
     times_path = str(tmp_path / "times.json")
     s_on = run("hk_on", "on", times=times_path)
     s_off = run("hk_off", "off")
+    # H2D overlap (one-ahead placement on a side thread) must not change
+    # batch order or keys: bitwise vs the default-on runs above
+    s_noov = run("no_overlap", "on", overlap="off")
 
     # bitwise: same executable, same data, identical keys
-    for a, b in zip(jax.tree.leaves(s_on), jax.tree.leaves(s_off)):
+    for a, b, c2 in zip(jax.tree.leaves(s_on), jax.tree.leaves(s_off),
+                        jax.tree.leaves(s_noov)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c2))
 
     summary = json.load(open(times_path))
     assert summary["calls"] == 2 and summary["steps_per_call"] == 1

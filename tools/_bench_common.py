@@ -16,9 +16,13 @@ import os
 from typing import Optional
 
 
-def parse_overrides(env_var: str) -> dict:
-    raw = os.environ.get(env_var, "")
+def parse_kv(raw: str) -> dict:
+    """'k=v,k2=v2' -> dict (single owner of the override grammar)."""
     return dict(kv.split("=", 1) for kv in raw.split(",") if "=" in kv)
+
+
+def parse_overrides(env_var: str) -> dict:
+    return parse_kv(os.environ.get(env_var, ""))
 
 
 def build_configs(ov: Optional[dict] = None):

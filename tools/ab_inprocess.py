@@ -29,8 +29,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # the knobs this tool flips between traces; anything NOT in a variant's
 # env is restored to unset (code default) before that variant traces
@@ -47,15 +50,21 @@ DEFAULT_VARIANTS = [
 
 def parse_variant(spec: str):
     """'name:VAR=v,VAR2=v2' (or 'name:' for code defaults) -> (name, env)."""
-    name, _, rest = spec.partition(":")
-    env = dict(kv.split("=", 1) for kv in rest.split(",") if "=" in kv)
+    name, colon, rest = spec.partition(":")
+    if not colon:
+        raise ValueError(
+            f"variant spec {spec!r} has no ':' — a bare 'VAR=v' would "
+            f"silently bench code defaults under that label; use "
+            f"'name:VAR=v' (or 'name:' for code defaults)")
+    from tools import _bench_common as bc
+    env = bc.parse_kv(rest)
+    if rest and not env:
+        raise ValueError(f"variant spec {spec!r} parsed to an empty env")
     return name, env
 
 
 def run(variants, overrides: dict, reps: int, steps: int, calls: int,
         log=None) -> list:
-    import os
-
     import jax
 
     from tools import _bench_common as bc
@@ -70,12 +79,17 @@ def run(variants, overrides: dict, reps: int, steps: int, calls: int,
     del state0
     dev = jax.devices()[0]
     results = []
-    saved = {k: os.environ.get(k) for k in TRACE_TIME_KNOBS}
+    # every knob ANY variant touches (plus the known trace-time set) is
+    # reset before each variant and restored after the sweep — a
+    # user-supplied --variant var outside TRACE_TIME_KNOBS must not leak
+    # into later variants or survive into the caller's env
+    knobs = set(TRACE_TIME_KNOBS).union(*(env for _, env in variants))
+    saved = {k: os.environ.get(k) for k in knobs}
     try:
         for name, env in variants:
             results.append(_run_variant(
-                name, env, host_state, dev, g_cfg, ds_cfg, dt_cfg, tc,
-                dims, real, y, reps, steps, calls, log))
+                name, env, knobs, host_state, dev, g_cfg, ds_cfg, dt_cfg,
+                tc, dims, real, y, reps, steps, calls, log))
     finally:
         # restore the caller's env: a later trace in this process must
         # not silently inherit the LAST variant's knobs
@@ -87,15 +101,13 @@ def run(variants, overrides: dict, reps: int, steps: int, calls: int,
     return results
 
 
-def _run_variant(name, env, host_state, dev, g_cfg, ds_cfg, dt_cfg, tc,
-                 dims, real, y, reps, steps, calls, log):
-    import os
-
+def _run_variant(name, env, knobs, host_state, dev, g_cfg, ds_cfg, dt_cfg,
+                 tc, dims, real, y, reps, steps, calls, log):
     import jax
 
     from tools import _bench_common as bc
 
-    for k in TRACE_TIME_KNOBS:
+    for k in knobs:
         os.environ.pop(k, None)
     os.environ.update(env)
     state = jax.device_put(host_state, dev)
@@ -137,10 +149,11 @@ def main(argv=None):
                    help="timed dispatches per rep")
     args = p.parse_args(argv)
 
+    from tools import _bench_common as bc
+
     variants = ([parse_variant(v) for v in args.variant]
                 if args.variant else DEFAULT_VARIANTS)
-    overrides = dict(kv.split("=", 1)
-                     for kv in args.overrides.split(",") if "=" in kv)
+    overrides = bc.parse_kv(args.overrides)
     results = run(variants, overrides, args.reps, args.steps, args.calls)
     print(json.dumps(results))
     return results
