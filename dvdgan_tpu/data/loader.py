@@ -60,6 +60,16 @@ class Loader:
             ThreadPoolExecutor(self.num_threads)
             if self.num_threads > 1 else None)
 
+    def close(self) -> None:
+        """Shut down the decode thread pool. The Trainer keeps one Loader
+        for the process lifetime so it never needs this; tools that sweep
+        Loader configurations (bench_loader's --threads sweep) must call it
+        or leak an idle pool per sweep point."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
+            self.num_threads = 1
+
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.ds)
         idx = np.arange(n)

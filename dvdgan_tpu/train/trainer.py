@@ -419,12 +419,18 @@ class Trainer:
         self._flush_saver(unwinding=False)
         if step_times is not None and self.is_main and len(step_times) > 1:
             import json as _json
-            per_call = sorted(step_times[1:])   # [0] holds the compile
-            q = lambda p: per_call[min(len(per_call) - 1,
-                                       int(p * len(per_call)))]
+            import math as _math
+            # [0] is excluded from the percentiles: on a cold run it is
+            # the trace+compile (minutes); on a warm-cache/resume run it
+            # is an ordinary step (a conservative one-sample exclusion) —
+            # "first_call_s", not "compile_s": only the cold case compiles
+            per_call = sorted(step_times[1:])
+            # nearest-rank percentile (ceil(p*n)): int(p*n) returned the
+            # MAX for p90/p99 of small samples and the larger of 2 medians
+            q = lambda p: per_call[max(0, _math.ceil(p * len(per_call)) - 1)]
             summary = {
                 "calls": len(per_call), "steps_per_call": K,
-                "compile_s": step_times[0],
+                "first_call_s": step_times[0],
                 "median_s": q(0.5), "p90_s": q(0.9), "p99_s": q(0.99),
                 "max_s": per_call[-1],
                 "mean_s": sum(per_call) / len(per_call),

@@ -174,7 +174,9 @@ def test_loader_threads_actually_parallelize():
     serial = Loader(ds, batch_size=8, seed=0, num_threads=1)
     pooled = Loader(ds, batch_size=8, seed=0, num_threads=8)
 
+    t0 = time.perf_counter()
     b_serial = list(serial.epoch(0))
+    dt_serial = time.perf_counter() - t0
     t0 = time.perf_counter()
     b_pooled = list(pooled.epoch(0))
     dt_pooled = time.perf_counter() - t0
@@ -182,8 +184,14 @@ def test_loader_threads_actually_parallelize():
     assert len(b_serial) == len(b_pooled) == 4
     for (cs, ls), (cp, lp) in zip(b_serial, b_pooled):
         assert np.array_equal(cs, cp) and np.array_equal(ls, lp)
-    # 4 batches × 8 items × 10 ms = 320 ms serial; pooled should be < half
-    assert dt_pooled < 0.16, f"pooled epoch took {dt_pooled:.3f}s"
+    # 8 GIL-released 10 ms sleeps per batch collapse to ~1 under the pool.
+    # Compare against the MEASURED serial epoch, not absolute wall-clock —
+    # host contention scales both paths, an absolute bound flakes under it
+    # (ideal ratio 8x; demand only 2x)
+    assert dt_pooled < dt_serial / 2, \
+        f"pooled epoch {dt_pooled:.3f}s vs serial {dt_serial:.3f}s"
+    pooled.close()   # exercise the pool-shutdown API
+    assert pooled._pool is None
 
 
 def test_frame_folder_video_files(tmp_path):

@@ -3,6 +3,8 @@ maps BY MODULE NAME onto the canonical topology, validates shapes, and the
 loaded network runs. Fake checkpoints are synthesized from the topology
 spec itself, so any drift between converter and network fails here."""
 
+import json
+
 import numpy as np
 import pytest
 
@@ -450,8 +452,15 @@ def test_ab_inprocess_shared_init(monkeypatch):
     assert ab_inprocess.parse_variant("defaults:") == ("defaults", {})
     with pytest.raises(ValueError, match="no ':'"):
         ab_inprocess.parse_variant("DVDGAN_DT_PREPOOL=off")   # label-less
-    with pytest.raises(ValueError, match="empty env"):
+    with pytest.raises(ValueError, match="malformed"):
         ab_inprocess.parse_variant("typo:DVDGAN_DT_PREPOOL")  # no '='
+    with pytest.raises(ValueError, match="malformed"):
+        # the dangerous case: a MIXED spec whose typo'd segment used to be
+        # silently dropped — benching prepool_off-only under a combo label
+        ab_inprocess.parse_variant(
+            "combo:DVDGAN_DT_PREPOOL=off,DVDGAN_TM_FAKES")
+    # trailing comma is harmless, not a typo
+    assert ab_inprocess.parse_variant("a:K=v,") == ("a", {"K": "v"})
 
 
 def test_ab_inprocess_foreign_knob_isolation(monkeypatch):
@@ -482,3 +491,29 @@ def test_ab_inprocess_foreign_knob_isolation(monkeypatch):
         reps=1, steps=1, calls=1, log=lambda s: None)
     assert seen == [("dirty", "x"), ("clean", None)]
     assert "DVDGAN_FAKE_KNOB" not in os.environ
+
+
+def test_bench_loader_end_to_end(capsys):
+    """tools/bench_loader measures _make_batch assembly directly (the
+    prefetch-iterator timing it replaced overstated clips/s by the queue's
+    pipeline-fill head start, enough to flip keeps_up near margin 1.0) and
+    must not leak decode pools across the --threads sweep."""
+    import threading
+
+    from tools import bench_loader
+
+    n0 = threading.active_count()
+    bench_loader.main([
+        "--img_size", "16", "--n_frames", "4", "--batch", "2",
+        "--threads", "1,2", "--batches", "2", "--n_videos", "4",
+        "--src_size", "24", "--src_frames", "6",
+        "--demand_steps", "0.001",
+    ])
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert [ln["threads"] for ln in lines] == [1, 2]
+    for ln in lines:
+        assert ln["metric"] == "loader_clips_per_sec" and ln["value"] > 0
+        assert ln["keeps_up"] and ln["margin"] > 0
+    # every swept Loader's pool was shut down (close() in measure)
+    assert threading.active_count() <= n0 + 1

@@ -289,5 +289,10 @@ def test_step_times_summary_and_host_keys_knob(tmp_path, monkeypatch):
 
     summary = json.load(open(times_path))
     assert summary["calls"] == 2 and summary["steps_per_call"] == 1
-    assert summary["compile_s"] > 0 and summary["median_s"] > 0
+    assert summary["first_call_s"] > 0 and summary["median_s"] > 0
     assert summary["median_steps_per_s"] > 0
+    # nearest-rank percentiles: monotone, and the 2-sample median is the
+    # LOWER sample (int(p*n) indexing used to return the max for both)
+    assert summary["median_s"] <= summary["p90_s"] <= summary["p99_s"] \
+        <= summary["max_s"]
+    assert summary["median_s"] <= summary["mean_s"]

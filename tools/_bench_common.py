@@ -17,8 +17,23 @@ from typing import Optional
 
 
 def parse_kv(raw: str) -> dict:
-    """'k=v,k2=v2' -> dict (single owner of the override grammar)."""
-    return dict(kv.split("=", 1) for kv in raw.split(",") if "=" in kv)
+    """'k=v,k2=v2' -> dict (single owner of the override grammar).
+
+    STRICT: a non-empty segment without '=' raises — silently dropping it
+    would bench/profile the wrong configuration under a label claiming the
+    knob was set (the silent-knob-typo class layers.env_choice guards
+    against at import time)."""
+    out = {}
+    for kv in raw.split(","):
+        if not kv:
+            continue
+        if "=" not in kv:
+            raise ValueError(
+                f"malformed override segment {kv!r} in {raw!r} — "
+                f"expected 'KEY=value'")
+        k, v = kv.split("=", 1)
+        out[k] = v
+    return out
 
 
 def parse_overrides(env_var: str) -> dict:

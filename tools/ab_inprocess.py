@@ -57,10 +57,7 @@ def parse_variant(spec: str):
             f"silently bench code defaults under that label; use "
             f"'name:VAR=v' (or 'name:' for code defaults)")
     from tools import _bench_common as bc
-    env = bc.parse_kv(rest)
-    if rest and not env:
-        raise ValueError(f"variant spec {spec!r} parsed to an empty env")
-    return name, env
+    return name, bc.parse_kv(rest)   # strict: malformed segments raise
 
 
 def run(variants, overrides: dict, reps: int, steps: int, calls: int,

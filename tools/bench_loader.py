@@ -55,16 +55,27 @@ def write_fixture(root: str, n_videos: int, src_frames: int, src_size: int,
 
 def measure(ds, batch: int, threads: int, prefetch: int,
             n_batches: int) -> float:
-    """Sustained clips/s pulling `n_batches` from Loader.forever after one
-    warm-up batch (pool spin-up, page cache)."""
+    """Sustained clips/s assembling `n_batches` directly (thread-pool map
+    + stack), after one warm-up batch (pool spin-up, page cache).
+
+    Times `_make_batch` rather than pulls from the prefetch iterator: the
+    prefetch worker produces at exactly this rate, but timing the iterator
+    overstates it by up to (prefetch+1)/n_batches — batches decoded before
+    t0 return instantly and flip keeps_up near margin 1.0."""
     ld = Loader(ds, batch, num_threads=threads, prefetch=prefetch, seed=0)
-    it = ld.forever()
-    next(it)                                    # warm-up
-    t0 = time.perf_counter()
-    for _ in range(n_batches):
-        next(it)
-    dt = time.perf_counter() - t0
-    it.close()
+    try:
+        idx = ld._epoch_indices(0)
+        bs = [idx[i:i + batch] for i in range(0, len(idx), batch)]
+        if not bs:
+            raise ValueError(f"dataset of {len(ds)} items yields zero "
+                             f"batches at batch_size={batch}")
+        ld._make_batch(bs[0])                   # warm-up
+        t0 = time.perf_counter()
+        for k in range(n_batches):
+            ld._make_batch(bs[k % len(bs)])
+        dt = time.perf_counter() - t0
+    finally:
+        ld.close()
     return n_batches * batch / dt
 
 
