@@ -2,6 +2,7 @@
 test — pretrained I3D weights need network access)."""
 
 import numpy as np
+import pytest
 
 from dvdgan_tpu.eval import (ClassifierProbs, I3DLikeFeatures,
                              extract_features, frechet_distance, fvd,
@@ -54,6 +55,7 @@ def test_i3d_like_extractor_shapes():
     assert np.array_equal(f, fx(v))
 
 
+@pytest.mark.slow
 def test_i3d_real_topology_random_init():
     """The genuine I3D net runs at random init; pretrained flag is honest."""
     from dvdgan_tpu.eval import I3DFeatures

@@ -6,6 +6,7 @@ full clip; the eval harness computes prediction-FVD."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dvdgan_tpu.models import DSConfig, DTConfig, GConfig, generator
 from dvdgan_tpu.train import TrainConfig, create, make_train_step
@@ -55,6 +56,7 @@ def test_fp_generator_requires_cond():
         pass
 
 
+@pytest.mark.slow
 def test_fp_train_step_updates_encoder():
     st = create(jax.random.PRNGKey(0), G_CFG, DS_CFG, DT_CFG, TC)
     rng = np.random.RandomState(0)

@@ -21,6 +21,7 @@ TC = TrainConfig(d_steps=1, batch_size=8)
 
 
 @pytest.mark.skipif(jax.device_count() < 2, reason="needs multi-device")
+@pytest.mark.slow
 def test_parallel_step_runs_and_replicas_agree():
     mesh = make_mesh()
     n_dev = jax.device_count()
@@ -45,6 +46,7 @@ def test_parallel_step_runs_and_replicas_agree():
 
 
 @pytest.mark.skipif(jax.device_count() < 2, reason="needs multi-device")
+@pytest.mark.slow
 def test_parallel_matches_single_device_rng_replay():
     """REAL DP equivalence (VERDICT r1 weak #5): a single device replays the
     exact per-replica folded RNG streams via train_step(rng_shards=N), so
@@ -92,6 +94,7 @@ def test_parallel_matches_single_device_rng_replay():
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+@pytest.mark.slow
 def test_time_cp_step_matches_data_parallel_only():
     """2-D (4 data × 2 time) mesh with DT time-sharded == 1-D 4-device
     data-only mesh, same global batch and keys: G/DS replicate along time
@@ -134,6 +137,7 @@ def test_time_cp_step_matches_data_parallel_only():
                 err_msg=f"{name}{jax.tree_util.keystr(path)}")
 
 
+@pytest.mark.slow
 def test_time_cp_with_grad_accum_d_phase_exact():
     """Preset 4's actual deployment combo — time-axis CP AND gradient
     accumulation together (256px/48f, global batch 512): micro-batch
@@ -242,6 +246,7 @@ def test_local_batch_rows_and_local_shard_equivalence():
     assert np.array_equal(np.asarray(a_l), np.asarray(b_l))
 
 
+@pytest.mark.slow
 def test_time_cp_fp_matches_data_parallel_only():
     """DVD-GAN-FP on the 2-D (2 data × 2 time) mesh == the 2-device
     data-only mesh: the time-sharded DT consumes the FULL clip (real cond

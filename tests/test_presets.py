@@ -12,6 +12,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dvdgan_tpu.models import discriminator, generator
 from dvdgan_tpu.utils.config import Config, PRESETS
@@ -30,6 +31,7 @@ def _count(tree) -> int:
     return sum(int(np.prod(l.shape)) for l in jax.tree.leaves(tree))
 
 
+@pytest.mark.slow
 def test_all_presets_init_with_golden_param_counts():
     assert set(_GOLDEN) == set(PRESETS)
     for name, pd in PRESETS.items():
@@ -41,6 +43,7 @@ def test_all_presets_init_with_golden_param_counts():
         assert got == _GOLDEN[name], f"{name}: {got} != {_GOLDEN[name]}"
 
 
+@pytest.mark.slow
 def test_kinetics_128_full_train_step():
     """One real G+D step through the 128px topology (5 levels, attention at
     32², 128px DS + 64px-input DT) — frames/batch shrunk, architecture not."""

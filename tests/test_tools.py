@@ -364,6 +364,7 @@ def test_export_serving_bf16_artifact():
         export_sampler(st, g_cfg, batch=2, dtype="fp8")
 
 
+@pytest.mark.slow
 def test_autotune_coordinate_descent(tmp_path):
     """tools/autotune adopts only knob values whose median beats the
     champion by more than the noise threshold, composes adopted settings

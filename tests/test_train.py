@@ -89,6 +89,7 @@ def test_sampling_shapes_and_determinism(setup):
     assert np.array_equal(np.asarray(v1), np.asarray(v2))
 
 
+@pytest.mark.slow
 def test_grad_accum_d_phase_exact_and_g_runs():
     """tc.grad_accum=k (train/step.py docstring): RNG streams are full-batch
     draws sliced per micro, and fake generation stays one full-batch
@@ -131,6 +132,7 @@ def test_grad_accum_d_phase_exact_and_g_runs():
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=5e-4)
 
 
+@pytest.mark.slow
 def test_per_step_fake_gen_mode():
     """fake_gen='per_step' (the reference's per-forward CBN stats) runs and
     matches 'pooled' when d_steps == 1 (single batch: pooling is a no-op,
@@ -246,6 +248,7 @@ def test_grad_norm_metrics_gated(setup):
         assert np.asarray(m_off[k]) == np.asarray(m_on[k]), k
 
 
+@pytest.mark.slow
 def test_time_major_fakes_knob_equivalent(monkeypatch):
     """DVDGAN_TM_FAKES=on (gather/φ-pool the fakes in G's native
     time-major layout, transpose the small results) is the same math as
