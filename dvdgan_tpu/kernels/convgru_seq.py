@@ -205,3 +205,47 @@ def _bwd(interpret, res, g):
 
 
 gru_sequence_fused.defvjp(_fwd, _bwd)
+
+
+# --------------------------------------------------- scan-path custom VJP ----
+
+def _seq_scan_impl(gx, cx, h0, wg, wc, unroll):
+    """Plain-JAX whole-sequence forward — bitwise the math ops/convgru.py's
+    scan fallback ran via _cell_from_hoisted (f32 gate math, no h-conv
+    biases)."""
+
+    def cell(h, inputs):
+        gx_t, cx_t = inputs
+        h_new = reference_cell(h, gx_t, cx_t, wg, wc, f32_gates=True)
+        return h_new, h_new
+
+    _, hs = jax.lax.scan(cell, h0, (gx, cx), unroll=unroll)
+    return hs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def gru_sequence_scan(gx, cx, h0, wg, wc, unroll=1):
+    """Whole-sequence plain-JAX scan forward + saved-hs backward.
+
+    The fallback for shapes the Pallas forward's VMEM estimate rejects
+    (e.g. the 64×64×64 generator level at 128px+). Same signature and the
+    SAME backward policy as gru_sequence_fused: save only the bf16 hidden
+    sequence (which is the output anyway — zero extra residual memory) and
+    recompute gates per step in the activation dtype. Plain autodiff
+    through the scan instead saved the f32 sigmoid/tanh gate intermediates
+    (3C·T per level): at the 128px config those stacked f32 buffers plus
+    their backward dynamic-slice reads were ~6 ms/step of the trace's
+    loop-fusion bucket and ~12 bytes/elem/step of HBM."""
+    return _seq_scan_impl(gx, cx, h0, wg, wc, unroll)
+
+
+def _scan_fwd(gx, cx, h0, wg, wc, unroll):
+    hs = _seq_scan_impl(gx, cx, h0, wg, wc, unroll)
+    return hs, (gx, cx, h0, wg, wc, hs)
+
+
+def _scan_bwd(unroll, res, g):
+    return _bwd(False, res, g)
+
+
+gru_sequence_scan.defvjp(_scan_fwd, _scan_bwd)

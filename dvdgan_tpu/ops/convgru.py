@@ -159,10 +159,12 @@ def convgru(p: dict, x_seq: jax.Array, h0: jax.Array | None = None,
         hs = kernels.gru_sequence_fused(gx, cx, h0, wg, wc)
         return hs if time_major else jnp.moveaxis(hs, 0, 1)
 
-    def step(hid, inputs):
-        gx_t, cx_t = inputs
-        hid = _cell_from_hoisted(p, gx_t, cx_t, hid)
-        return hid, hid
-
-    _, hs = jax.lax.scan(step, h0, (gx, cx), unroll=min(unroll, t))
+    # Scan fallback with the kernel path's VJP policy (save only hs,
+    # recompute gates in the backward — kernels.convgru_seq): plain
+    # autodiff through the scan stacked the f32 gate intermediates as
+    # residuals, ~6 ms/step + ~12 B/elem/step HBM at the 128px config's
+    # 64×64×64 level (the shape the Pallas forward's VMEM gate rejects).
+    # Forward math is bitwise _cell_from_hoisted's.
+    hs = kernels.convgru_seq.gru_sequence_scan(
+        gx, cx, h0, p["gates_h"]["w"], p["cand_h"]["w"], min(unroll, t))
     return hs if time_major else jnp.moveaxis(hs, 0, 1)

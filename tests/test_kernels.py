@@ -360,3 +360,67 @@ def test_attention_kernel_refuses_unfit_shape():
     wo = jnp.zeros((c // 2, c), jnp.float32)
     with pytest.raises(ValueError, match="VMEM"):
         ka._spatial_attn_pallas(x, wq, wk, wv, wo, jnp.float32(0.1))
+
+
+# ------------------------------------------------- scan-path custom VJP ----
+
+def test_gru_sequence_scan_forward_bitwise():
+    """gru_sequence_scan's forward is BITWISE the plain scan of
+    _cell_from_hoisted that ops/convgru.py's fallback used to inline —
+    swapping the VJP must not move a single forward bit (resume streams,
+    sampling determinism)."""
+    for dtype in (jnp.float32, jnp.bfloat16):
+        gx, cx, h0, wg, wc = _rand_seq_inputs(
+            jax.random.PRNGKey(3), dtype=dtype)
+        p = {"gates_h": {"w": wg}, "cand_h": {"w": wc}}
+
+        def old_scan(gx, cx, h0):
+            def step(h, inputs):
+                h = convgru._cell_from_hoisted(p, inputs[0], inputs[1], h)
+                return h, h
+            return jax.lax.scan(step, h0, (gx, cx), unroll=2)[1]
+
+        want = jax.jit(old_scan)(gx, cx, h0)
+        got = jax.jit(
+            lambda gx, cx, h0: kseq.gru_sequence_scan(gx, cx, h0, wg, wc, 2)
+        )(gx, cx, h0)
+        assert got.dtype == want.dtype
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_gru_sequence_scan_grads_match_autodiff():
+    """The saved-hs backward == plain autodiff through the forward scan at
+    f32 (recompute in f32 is the same math autodiff differentiates; only
+    residual storage changes)."""
+    args = _rand_seq_inputs(jax.random.PRNGKey(4))
+    g = jax.random.normal(jax.random.PRNGKey(5),
+                          (4, 2, 6, 6, 8), jnp.float32)
+
+    def loss_custom(*a):
+        return jnp.vdot(kseq.gru_sequence_scan(*a, 2), g)
+
+    def loss_auto(*a):
+        return jnp.vdot(kseq._seq_scan_impl(*a, 2), g)
+
+    got = jax.grad(loss_custom, argnums=(0, 1, 2, 3, 4))(*args)
+    want = jax.grad(loss_auto, argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(got, want):
+        assert np.allclose(np.asarray(a), np.asarray(b),
+                           rtol=1e-5, atol=1e-5)
+
+
+def test_convgru_fallback_routes_through_scan_vjp(monkeypatch):
+    """ops/convgru.py's non-Pallas path calls gru_sequence_scan (the
+    saved-hs VJP), not plain autodiff-through-scan."""
+    called = {}
+    real = kseq.gru_sequence_scan
+
+    def spy(*a, **k):
+        called["hit"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(kseq, "gru_sequence_scan", spy)
+    p = convgru.convgru_init(jax.random.PRNGKey(6), 4)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 5, 6, 6, 4))
+    y = convgru.convgru(p, x, use_pallas=False)
+    assert called.get("hit") and y.shape == x.shape
