@@ -22,6 +22,8 @@ on top only where profiling says it wins.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -73,9 +75,47 @@ def separable_attn_init(key, c: int) -> dict:
     return {"spatial": _proj_init(ks, c), "temporal": _proj_init(kt, c)}
 
 
+def _proj_mode() -> str:
+    """Trace-time knob: how the 1×1 projections enter the attention bmms.
+
+      "pair"  — the literal SAGAN graph: q/k/v token projections then
+                q·kᵀ and attn·v. The logits bmm has contraction depth
+                C/8 (= 8 at C=64): the MXU is 128 deep, so it runs at
+                ≤6% of peak (profiled 0.73 ms for 1.07 GFLOP, flagship).
+      "fused" — algebraically identical regrouping: logits =
+                x · (kv·(Wφ Wθᵀ))ᵀ and o = attn · (kv·(Wg Wout)) — every
+                bmm contracts over C (MXU-depth-friendly) and the tiny
+                C/8 / C/2 intermediates never materialize per token.
+                Same gradient flow (weights enter via [C,C] products);
+                differs from "pair" only by float reassociation.
+
+    MEASURED LOSER (v5e flagship scan-bench via tools/ab_inprocess,
+    3 reps, 2026-08-19): fused 24.40 vs pair 25.47 steps/s (−4.2%).
+    The depth gain is real but the fused form's backward pushes C-wide
+    cotangents through the kv tokens (vs C/8- and C/2-wide in "pair") —
+    4-8× more gradient bytes/FLOPs on the token tensors, which at these
+    sizes outweighs feeding the MXU properly. Default stays "pair".
+    """
+    mode = os.environ.get("DVDGAN_ATTN_PROJ", "pair")
+    if mode not in ("pair", "fused"):
+        raise ValueError(f"DVDGAN_ATTN_PROJ must be pair|fused, got {mode}")
+    return mode
+
+
 def _attend(p: dict, x_tokens: jax.Array, kv_tokens: jax.Array) -> jax.Array:
     """Generic single-head attention. x_tokens: (N, L, C) queries' source;
     kv_tokens: (N, L', C) keys/values' source. Returns the γ-scaled delta."""
+    dt = x_tokens.dtype
+    if _proj_mode() == "fused":
+        m = p["phi"]["w"].astype(dt) @ p["theta"]["w"].astype(dt).T  # (C, C)
+        kvp = jnp.einsum("nmc,cd->nmd", kv_tokens, m)            # (N, L', C)
+        logits = jnp.einsum("nlc,nmc->nlm", x_tokens, kvp
+                            ).astype(jnp.float32)
+        attn = jax.nn.softmax(logits, axis=-1).astype(dt)
+        gw = p["g"]["w"].astype(dt) @ p["out"]["w"].astype(dt)   # (C, C)
+        vp = jnp.einsum("nmc,cd->nmd", kv_tokens, gw)            # (N, L', C)
+        o = jnp.einsum("nlm,nmc->nlc", attn, vp)
+        return p["gamma"].astype(dt) * o
     q = layers.linear(p["theta"], x_tokens)                  # (N, L, C/8)
     k = layers.linear(p["phi"], kv_tokens)                   # (N, L', C/8)
     v = layers.linear(p["g"], kv_tokens)                     # (N, L', C/2)

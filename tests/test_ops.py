@@ -533,6 +533,36 @@ def test_temporal_attention_modes_agree():
         attention._TEMPORAL_MODE = prev
 
 
+def test_attention_proj_modes_agree(monkeypatch):
+    """DVDGAN_ATTN_PROJ=fused (projections folded into the bmms as [C,C]
+    weight products — the MXU-depth-friendly lowering) == pair (the literal
+    SAGAN q/k/v graph), forward and all weight/input gradients, to f32
+    reassociation tolerance. Also rejects typos (trace-time knob)."""
+    from dvdgan_tpu.ops import attention
+
+    p = attention.separable_attn_init(jax.random.PRNGKey(91), 16)
+    p = jax.tree.map(lambda t: t + 0.1, p)
+    x = jax.random.normal(jax.random.PRNGKey(92), (2, 4, 6, 6, 16))
+
+    def run():
+        def loss(pp, q):
+            y = attention.separable_attn(pp, q)
+            return (y * jnp.cos(y)).sum()
+        l, grads = jax.value_and_grad(loss, argnums=(0, 1))(p, x)
+        return (l, *jax.tree.leaves(grads))
+
+    monkeypatch.setenv("DVDGAN_ATTN_PROJ", "pair")
+    a = run()
+    monkeypatch.setenv("DVDGAN_ATTN_PROJ", "fused")
+    b = run()
+    for u, v in zip(a, b):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                   rtol=2e-4, atol=2e-4)
+    monkeypatch.setenv("DVDGAN_ATTN_PROJ", "bogus")
+    with pytest.raises(ValueError):
+        attention.separable_attn(p, x)
+
+
 def test_env_choice_rejects_typos(monkeypatch):
     """A/B env knobs must refuse unknown values instead of silently
     falling through to one lowering (review finding)."""

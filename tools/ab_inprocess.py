@@ -37,7 +37,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # the knobs this tool flips between traces; anything NOT in a variant's
 # env is restored to unset (code default) before that variant traces
-TRACE_TIME_KNOBS = ("DVDGAN_DT_PREPOOL", "DVDGAN_TM_FAKES")
+TRACE_TIME_KNOBS = ("DVDGAN_DT_PREPOOL", "DVDGAN_TM_FAKES",
+                    "DVDGAN_ATTN_PROJ", "DVDGAN_GRU_ROWPACK")
 
 DEFAULT_VARIANTS = [
     ("base", {}),
