@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dvdgan_tpu.kernels.convgru_cell import _conv3x3_from_padded
+from dvdgan_tpu.kernels.convgru_cell import _conv3x3_from_padded, _rowpack
 
 # The backward's per-block working set is ~3× the forward cell's (five
 # padded scratch planes incl. a 2C-wide one, plus ~15 live f32 (n,C)/(n,2C)
@@ -52,7 +52,10 @@ def _bwd_batch_block(b: int, h: int, w: int, c: int, itemsize: int) -> int:
         pads = 5 * bb * (h + 2) * (w + 2) * c * itemsize  # hp,rhp,padc + 2C pad2c
         carry = n * c * itemsize
         io = 10 * n * c * itemsize  # 5 in + 5 out block C-equivalents
-        if f32 + pads + carry + io < _BWD_VMEM_LIMIT_BYTES:
+        # row-packed taps materialize a (tokens, 3C) concat per kernel row
+        # (shared _conv3x3_from_padded; see convgru_cell._rowpack)
+        rowpack = 3 * n * c * itemsize if _rowpack() else 0
+        if f32 + pads + carry + io + rowpack < _BWD_VMEM_LIMIT_BYTES:
             return bb
     return 0
 

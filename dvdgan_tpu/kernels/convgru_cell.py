@@ -27,6 +27,7 @@ Pallas; gradient correctness comes from jax.vjp of the reference math.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,13 +42,45 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_LIMIT_BYTES = 4 * 1024 * 1024
 
 
+def _rowpack() -> bool:
+    """Trace-time knob: pack each kernel ROW's 3 taps into one matmul with
+    contraction depth 3C (vs 9 separate K=C matmuls). At C=64 the MXU is
+    only half-fed by K=C; K=3C=192 lifts the depth fill to 75% for the
+    price of materializing a (tokens, 3C) concat per row in VMEM.
+
+    MEASURED default ON (v5e scan-bench via tools/ab_inprocess, 3 reps,
+    2026-08-19): flagship 64px 25.66 vs 25.42 steps/s (+0.95%, rep ranges
+    non-overlapping); 128px 7.326 vs 7.316 (neutral — only the 4/8/16px
+    C>=256 levels run the Pallas kernel there, where K=C already fills
+    the MXU). Neither preset's Pallas-fit set changes with the extra
+    VMEM term."""
+    v = os.environ.get("DVDGAN_GRU_ROWPACK", "on")
+    if v not in ("on", "off"):
+        raise ValueError(f"DVDGAN_GRU_ROWPACK must be on|off, got {v}")
+    return v == "on"
+
+
 def _conv3x3_from_padded(hp: jax.Array, w: jax.Array, b: int, h: int,
                          w_: int) -> jax.Array:
     """hp: (B, H+2, W+2, C) padded input; w: (3, 3, C, Cout) ->
-    (B*H*W, Cout) f32 — a 3×3 SAME conv as 9 shifted matmuls on the MXU."""
+    (B*H*W, Cout) f32 — a 3×3 SAME conv as shifted matmuls on the MXU
+    (9 K=C taps, or 3 K=3C row-packed taps under DVDGAN_GRU_ROWPACK)."""
     c = hp.shape[-1]
     cout = w.shape[-1]
     acc = jnp.zeros((b * h * w_, cout), jnp.float32)
+    if _rowpack():
+        for dy in range(3):
+            row = hp[:, dy:dy + h, :, :]
+            # reshape each dx window to 2-D BEFORE the lane concat: the raw
+            # 4-D windows carry distinct sublane offsets (dx=0/1/2) and
+            # Mosaic's tpu.concatenate rejects offset mismatch off the
+            # concat dim; the reshape re-materializes each at offset 0
+            patch = jnp.concatenate(
+                [row[:, :, dx:dx + w_, :].reshape(b * h * w_, c)
+                 for dx in range(3)], axis=-1)
+            acc += jnp.dot(patch, w[dy].reshape(3 * c, cout),
+                           preferred_element_type=jnp.float32)
+        return acc
     for dy in range(3):
         for dx in range(3):
             patch = hp[:, dy:dy + h, dx:dx + w_, :].reshape(b * h * w_, c)
@@ -105,7 +138,9 @@ def _batch_block(b: int, h: int, w: int, c: int, itemsize: int) -> int:
         gates = 3 * bb * h * w * 2 * c * 4
         pads = 2 * bb * (h + 2) * (w + 2) * c * itemsize
         io = bb * h * w * c * itemsize * 5
-        if gates + pads + io < _VMEM_LIMIT_BYTES:
+        # row-packed taps materialize a (tokens, 3C) concat per kernel row
+        rowpack = 3 * bb * h * w * c * itemsize if _rowpack() else 0
+        if gates + pads + io + rowpack < _VMEM_LIMIT_BYTES:
             return bb
     return 1
 

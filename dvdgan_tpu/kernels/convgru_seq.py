@@ -65,7 +65,9 @@ def _seq_batch_block(b: int, h: int, w: int, c: int, itemsize: int) -> int:
         # gx(2C)+cx(C) in, h(C) out, double-buffered by the grid pipeline,
         # + the h0 block
         io = (2 * 4 + 1) * bb * h * w * c * itemsize
-        if gates + pads + carry + io < _cell._VMEM_LIMIT_BYTES:
+        # row-packed taps materialize a (tokens, 3C) concat per kernel row
+        rowpack = 3 * bb * h * w * c * itemsize if _cell._rowpack() else 0
+        if gates + pads + carry + io + rowpack < _cell._VMEM_LIMIT_BYTES:
             return bb
     return 0
 

@@ -4,6 +4,7 @@ XLA-fused baseline' happens on the TPU; numerics are validated here)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dvdgan_tpu.kernels import convgru_cell as kc
 from dvdgan_tpu.ops import convgru
@@ -225,6 +226,31 @@ def test_bwd_kernel_matches_autodiff():
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.parametrize("mode", ["on", "off"])
+def test_rowpack_taps_match_reference(monkeypatch, mode):
+    """Both DVDGAN_GRU_ROWPACK values (on = 3 K=3C row-packed tap matmuls,
+    the measured default; off = 9 K=C taps) compute the same sequence
+    forward AND Pallas backward as the oracle — the MXU-depth lowering
+    only reassociates the tap sum. Also rejects typos (trace-time knob)."""
+    monkeypatch.setenv("DVDGAN_GRU_ROWPACK", mode)
+    args = _rand_seq_inputs(jax.random.PRNGKey(31), t=3, b=2, h=6, w=6, c=8)
+    hs = kseq.gru_sequence_fused(*args, True)
+    ref = kseq._seq_reference(*args)
+    assert np.allclose(np.asarray(hs), np.asarray(ref), atol=1e-5)
+
+    gx, cx, h0, wg, wc = args
+    g = jax.random.normal(jax.random.PRNGKey(32), ref.shape)
+    _, vjp = jax.vjp(kseq._seq_reference, *args)
+    want = vjp(g)
+    got = kbwd.gru_sequence_bwd(gx, cx, h0, wg, wc, ref, g, interpret=True)
+    for a, b in zip(got, want):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    monkeypatch.setenv("DVDGAN_GRU_ROWPACK", "bogus")
+    with pytest.raises(ValueError):
+        kc._rowpack()
+
+
 def test_bwd_scan_matches_autodiff():
     """_seq_bwd_scan (the default backward) == jax.vjp of the oracle."""
     args = _rand_seq_inputs(jax.random.PRNGKey(7), t=4, b=1, h=4, w=4, c=4)
@@ -274,7 +300,8 @@ def _seq_ws(bb, h, w, c, itemsize):
     pads = 2 * bb * (h + 2) * (w + 2) * c * itemsize
     carry = bb * h * w * c * itemsize
     io = 9 * bb * h * w * c * itemsize
-    return gates + pads + carry + io
+    rowpack = 3 * bb * h * w * c * itemsize if kc._rowpack() else 0
+    return gates + pads + carry + io + rowpack
 
 
 def test_seq_kernel_multi_batch_block_grid(monkeypatch):
@@ -312,7 +339,8 @@ def _bwd_ws(bb, h, w, c, itemsize):
     pads = 5 * bb * (h + 2) * (w + 2) * c * itemsize
     carry = n * c * itemsize
     io = 10 * n * c * itemsize
-    return f32 + pads + carry + io
+    rowpack = 3 * n * c * itemsize if kc._rowpack() else 0
+    return f32 + pads + carry + io + rowpack
 
 
 def test_bwd_kernel_multi_batch_block_grid(monkeypatch):
