@@ -59,12 +59,22 @@ class Loader:
         self._pool: Optional[ThreadPoolExecutor] = (
             ThreadPoolExecutor(self.num_threads)
             if self.num_threads > 1 else None)
+        self._epoch_workers = 0
 
     def close(self) -> None:
         """Shut down the decode thread pool. The Trainer keeps one Loader
         for the process lifetime so it never needs this; tools that sweep
         Loader configurations (bench_loader's --threads sweep) must call it
         or leak an idle pool per sweep point."""
+        if self._epoch_workers:
+            # closing under an active prefetch worker races its _pool use:
+            # shutdown-then-None could raise 'cannot schedule new futures'
+            # inside the worker or silently flip it to the serial branch
+            # mid-epoch (ADVICE r3) — refuse loudly instead
+            raise RuntimeError(
+                "Loader.close() called while an epoch()/forever() prefetch "
+                "worker is active — exhaust or abandon the iterator first "
+                "(its cleanup joins the worker)")
         if self._pool is not None:
             self._pool.shutdown(wait=True)
             self._pool = None
@@ -123,6 +133,7 @@ class Loader:
                 q.put(None)                   # epoch and desync resume
 
         th = threading.Thread(target=worker, daemon=True)
+        self._epoch_workers += 1
         th.start()
         try:
             while True:
@@ -144,6 +155,7 @@ class Loader:
                 except queue.Empty:
                     pass
             th.join()
+            self._epoch_workers -= 1
 
     def forever(self, start_epoch: int = 0, start_batch: int = 0
                 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:

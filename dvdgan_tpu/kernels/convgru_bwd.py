@@ -52,9 +52,11 @@ def _bwd_batch_block(b: int, h: int, w: int, c: int, itemsize: int) -> int:
         pads = 5 * bb * (h + 2) * (w + 2) * c * itemsize  # hp,rhp,padc + 2C pad2c
         carry = n * c * itemsize
         io = 10 * n * c * itemsize  # 5 in + 5 out block C-equivalents
-        # row-packed taps materialize a (tokens, 3C) concat per kernel row
-        # (shared _conv3x3_from_padded; see convgru_cell._rowpack)
-        rowpack = 3 * n * c * itemsize if _rowpack() else 0
+        # row-packed taps materialize a (tokens, 3·Cin) concat per kernel
+        # row (shared _conv3x3_from_padded); the WIDEST rowpacked input on
+        # this path is the transposed conv over the 2C-wide pad2c scratch —
+        # model (n, 3·2C), not the forward's (n, 3C) (ADVICE r3)
+        rowpack = 3 * n * 2 * c * itemsize if _rowpack() else 0
         if f32 + pads + carry + io + rowpack < _BWD_VMEM_LIMIT_BYTES:
             return bb
     return 0

@@ -29,28 +29,35 @@ from dvdgan_tpu.core import init as winit
 
 Params = dict
 
-# A/B knob for the temporal-phase interleave lowering (read at import):
-#   "stack"    — per-phase channel slices stacked on a new time-minor axis
-#   "moveaxis" — reshape → moveaxis(phase, 2) → reshape (one transpose)
-# Both are the same math (bitwise, tested); they steer XLA toward different
-# copy emissions in the BACKWARD (the forward interleave fuses into the
-# consumer convs either way, but the cotangent un-interleave materializes:
-# moveaxis emits 6-D transpose copies, stack emits strided slices).
-# MEASURED (v5e flagship scan-bench, 3 runs each, 2026-08-17):
-# stack 24.96/25.02/25.01 vs moveaxis 24.34/24.39/24.41 steps/s (+2.5%).
 def env_choice(var: str, default: str, allowed: tuple) -> str:
-    """Read an A/B env knob, REFUSING unknown values at import — a typo'd
-    value would otherwise silently select whichever lowering the string
-    comparisons fall through to (the class of bug the round-2 fake_gen
-    typo-path fix addressed)."""
+    """Read an A/B env knob, REFUSING unknown values — a typo'd value would
+    otherwise silently select whichever lowering the string comparisons
+    fall through to (the class of bug the round-2 fake_gen typo-path fix
+    addressed)."""
     v = os.environ.get(var, default)
     if v not in allowed:
         raise ValueError(f"{var}={v!r}: must be one of {allowed}")
     return v
 
 
-_TPHASE_INTERLEAVE = env_choice("DVDGAN_TPHASE_INTERLEAVE", "stack",
-                                ("stack", "moveaxis"))
+def _tphase_interleave() -> str:
+    """Trace-time A/B knob (read lazily at each trace so
+    tools/ab_inprocess.py can flip it between jits in one process —
+    CAVEAT: jax.jit caches the traced jaxpr per FUNCTION OBJECT, so a flip
+    only takes effect on a jit of a FRESH closure; re-jitting the same
+    function object reuses the old trace. make_multi_step builds a fresh
+    closure per variant; verified on-chip by lowered-HLO diff, r4):
+      "stack"    — per-phase channel slices stacked on a new time-minor axis
+      "moveaxis" — reshape → moveaxis(phase, 2) → reshape (one transpose)
+    Both are the same math (bitwise, tested); they steer XLA toward
+    different copy emissions in the BACKWARD (the forward interleave fuses
+    into the consumer convs either way, but the cotangent un-interleave
+    materializes: moveaxis emits 6-D transpose copies, stack emits strided
+    slices). MEASURED (v5e flagship scan-bench, 3 runs each, 2026-08-17):
+    stack 24.96/25.02/25.01 vs moveaxis 24.34/24.39/24.41 steps/s (+2.5%);
+    re-swept in-process 2026-08-19 (4-knob sweep): stack still the winner."""
+    return env_choice("DVDGAN_TPHASE_INTERLEAVE", "stack",
+                      ("stack", "moveaxis"))
 
 
 # ---------------------------------------------------------------- linear ----
@@ -246,7 +253,7 @@ def conv3d_tphase_core(w: jax.Array, x: jax.Array, n_phases: int,
         padding=(time_pad, (1, 1), (1, 1)),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
     n, tn, h, wd, _ = y.shape
-    if _TPHASE_INTERLEAVE == "stack":
+    if _tphase_interleave() == "stack":
         parts = [y[..., p * co:(p + 1) * co] for p in range(n_phases)]
         y = jnp.stack(parts, axis=2)                # (N, T/n, n, H, W, C)
     else:

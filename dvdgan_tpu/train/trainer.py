@@ -24,7 +24,9 @@ from __future__ import annotations
 
 import functools
 import os
+import queue
 import sys
+import threading
 import time
 
 import jax
@@ -40,6 +42,61 @@ from dvdgan_tpu.utils.config import Config
 from dvdgan_tpu.utils.logging import (MetricWriter, NullWriter,
                                       step_line)
 from dvdgan_tpu.utils.media import save_batch_gifs, save_video_grid_png
+
+
+class _DaemonPrefetcher:
+    """Single-slot one-ahead H2D prep on a persistent DAEMON thread.
+
+    concurrent.futures' ThreadPoolExecutor workers are non-daemon and the
+    module's atexit hook JOINS them at interpreter exit — a decode/placement
+    hung in the axon tunnel (a known failure mode here) would then block
+    process exit even after training completed (ADVICE r3). A daemon thread
+    lets exit proceed; the in-flight batch is simply dropped. The interface
+    mirrors the one Executor call pattern the trainer uses:
+    `pending = pool.submit(fn)` … `pending.result()` (at most one in
+    flight — the trainer consumes before resubmitting)."""
+
+    def __init__(self):
+        self._in: queue.Queue = queue.Queue(1)
+        self._out: queue.Queue = queue.Queue(1)
+        self._closed = False
+        self._th = threading.Thread(target=self._run, daemon=True,
+                                    name="h2d-prefetch")
+        self._th.start()
+
+    def _run(self):
+        while True:
+            fn = self._in.get()
+            if fn is None or self._closed:
+                return   # a fn submitted but not yet started is dropped
+            try:
+                self._out.put((True, fn()))
+            except BaseException as e:   # surfaced at result(), like Future
+                self._out.put((False, e))
+            if self._closed:
+                return   # shutdown raced our dequeue: its None was dropped
+
+    def submit(self, fn):
+        self._in.put(fn)
+        return self
+
+    def result(self):
+        ok, v = self._out.get()
+        if ok:
+            return v
+        raise v
+
+    def shutdown(self):
+        """Ask the worker to exit; never blocks. A RUNNING fn finishes on
+        its own first (a hung one is covered by the daemon flag at
+        interpreter exit); the flag covers the race where the None sentinel
+        is dropped because a submitted-but-unstarted fn still occupies the
+        single queue slot."""
+        self._closed = True
+        try:
+            self._in.put_nowait(None)
+        except queue.Full:
+            pass
 
 
 class Trainer:
@@ -292,8 +349,7 @@ class Trainer:
         h2d_pool = None
         pending = None
         if overlap:
-            from concurrent.futures import ThreadPoolExecutor
-            h2d_pool = ThreadPoolExecutor(1, thread_name_prefix="h2d")
+            h2d_pool = _DaemonPrefetcher()
         prof_start = self.start_step + K * max(1, 10 // K)
         prof_stop = prof_start + K * max(1, 5 // K)
         try:
@@ -409,9 +465,10 @@ class Trainer:
             raise
         finally:
             if h2d_pool is not None:
-                # don't wait: an in-flight decode finishes on its own;
-                # nothing consumes it
-                h2d_pool.shutdown(wait=False, cancel_futures=True)
+                # non-blocking; an in-flight decode finishes on its own
+                # (nothing consumes it) and its DAEMON thread cannot block
+                # interpreter exit even if the decode hangs
+                h2d_pool.shutdown()
         # normal completion: the final checkpoint must be durable and a
         # failed write must FAIL the run (explicit flag, not
         # sys.exc_info() sniffing — train() may legitimately be called

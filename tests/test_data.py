@@ -194,6 +194,25 @@ def test_loader_threads_actually_parallelize():
     assert pooled._pool is None
 
 
+def test_loader_close_refuses_while_epoch_active():
+    """close() under a live epoch()/forever() prefetch worker races the
+    worker's pool use (shutdown-then-None could raise inside the worker or
+    silently flip it to the serial branch mid-epoch — ADVICE r3): it must
+    refuse loudly, and work again once the iterator is abandoned (its
+    cleanup joins the worker)."""
+    import pytest
+
+    ds = _SlowDataset(n=32)
+    ld = Loader(ds, batch_size=8, seed=0, num_threads=4)
+    it = ld.epoch(0)
+    next(it)
+    with pytest.raises(RuntimeError, match="close.*active"):
+        ld.close()
+    it.close()   # generator cleanup joins the worker
+    ld.close()
+    assert ld._pool is None and ld._epoch_workers == 0
+
+
 def test_frame_folder_video_files(tmp_path):
     """In-pipeline video decode (SURVEY 2.12 'frame dirs or video files'):
     a .gif clip decodes through the plugin-detected imageio backend and

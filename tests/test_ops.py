@@ -1,3 +1,5 @@
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -491,14 +493,17 @@ def test_tphase_interleave_variants_agree():
             x, p["w"])
         return (y, *vjp(jnp.ones_like(y)))
 
-    prev = layers._TPHASE_INTERLEAVE
+    prev = os.environ.get("DVDGAN_TPHASE_INTERLEAVE")
     try:
-        layers._TPHASE_INTERLEAVE = "moveaxis"
+        os.environ["DVDGAN_TPHASE_INTERLEAVE"] = "moveaxis"
         a = run()
-        layers._TPHASE_INTERLEAVE = "stack"
+        os.environ["DVDGAN_TPHASE_INTERLEAVE"] = "stack"
         b = run()
     finally:
-        layers._TPHASE_INTERLEAVE = prev
+        if prev is None:
+            os.environ.pop("DVDGAN_TPHASE_INTERLEAVE", None)
+        else:
+            os.environ["DVDGAN_TPHASE_INTERLEAVE"] = prev
     for u, v in zip(a, b):
         np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
 
@@ -519,18 +524,21 @@ def test_temporal_attention_modes_agree():
             lambda q: attention.separable_attn(p, q, time_major=tm), xx)
         return (y, *vjp(jnp.ones_like(xx)))
 
-    prev = attention._TEMPORAL_MODE
+    prev = os.environ.get("DVDGAN_TEMPORAL_ATTN")
     try:
         for tm in (False, True):
-            attention._TEMPORAL_MODE = "fold"
+            os.environ["DVDGAN_TEMPORAL_ATTN"] = "fold"
             a = run(tm)
-            attention._TEMPORAL_MODE = "einsum"
+            os.environ["DVDGAN_TEMPORAL_ATTN"] = "einsum"
             b = run(tm)
             for u, v in zip(a, b):
                 np.testing.assert_allclose(np.asarray(u), np.asarray(v),
                                            rtol=1e-5, atol=1e-5)
     finally:
-        attention._TEMPORAL_MODE = prev
+        if prev is None:
+            os.environ.pop("DVDGAN_TEMPORAL_ATTN", None)
+        else:
+            os.environ["DVDGAN_TEMPORAL_ATTN"] = prev
 
 
 def test_attention_proj_modes_agree(monkeypatch):

@@ -296,3 +296,41 @@ def test_step_times_summary_and_host_keys_knob(tmp_path, monkeypatch):
     assert summary["median_s"] <= summary["p90_s"] <= summary["p99_s"] \
         <= summary["max_s"]
     assert summary["median_s"] <= summary["mean_s"]
+
+
+def test_daemon_prefetcher_semantics():
+    """The one-ahead H2D prefetcher runs on a DAEMON thread (a hung decode
+    must not block interpreter exit via concurrent.futures' atexit join —
+    ADVICE r3), propagates fn exceptions at result(), and shutdown() never
+    blocks even with a slow fn in flight."""
+    import threading as _th
+    import time as _time
+
+    from dvdgan_tpu.train.trainer import _DaemonPrefetcher
+
+    p = _DaemonPrefetcher()
+    assert p._th.daemon
+    assert p.submit(lambda: 41 + 1).result() == 42
+
+    def boom():
+        raise RuntimeError("decode failed")
+
+    p.submit(boom)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        p.result()
+
+    release, started = _th.Event(), _th.Event()
+
+    def slow():
+        started.set()
+        return release.wait(5)
+
+    p.submit(slow)
+    started.wait(5)                   # fn is RUNNING when shutdown lands
+    t0 = _time.perf_counter()
+    p.shutdown()                      # must not wait for the slow fn
+    assert _time.perf_counter() - t0 < 1.0
+    release.set()
+    assert p.result() is True         # in-flight fn still completed
+    p._th.join(5)
+    assert not p._th.is_alive()       # worker exited after the flag/None

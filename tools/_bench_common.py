@@ -58,7 +58,8 @@ def build_configs(ov: Optional[dict] = None):
     # 256px has 7 hierarchical-latent chunks; 112 divides by 7 (120 does not)
     g_cfg = GConfig(img_size=img, n_frames=nf, ch=ch,
                     z_dim=iv("z_dim", 112 if img == 256 else 120),
-                    n_classes=101, emb_dim=120, attn_res=32,
+                    n_classes=101, emb_dim=120,
+                    attn_res=iv("attn_res", 32),
                     remat=bool(iv("remat", 0)))
     ds_cfg = DSConfig(img_size=img, ch=ch, n_classes=101, k_frames=8)
     dt_cfg = DTConfig(img_size=img, n_frames=nf, ch=ch, n_classes=101)

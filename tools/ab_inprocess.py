@@ -1,16 +1,20 @@
 """In-process A/B of TRACE-TIME env knobs on the current device.
 
-tools/autotune.py benches each knob value in a fresh subprocess — required
-for import-time knobs (DVDGAN_TPHASE_INTERLEAVE, DVDGAN_TEMPORAL_ATTN are
-read at module import), but expensive where the backend does not serialize
+tools/autotune.py benches each knob value in a fresh subprocess — robust
+for ANY knob, but expensive where the backend does not serialize
 executables into the persistent compilation cache: through the axon remote
 tunnel every subprocess pays the full startup + CPU orthogonal init +
 train-step compile (~7.5 min/run measured, round 3), so a 3-rep sweep is
-hours. This tool handles the TRACE-TIME knobs (read inside `train_step`
-each trace: DVDGAN_DT_PREPOOL, DVDGAN_TM_FAKES) in ONE process: one shared
-CPU init, then per variant a fresh jit (re-trace reads the flipped env),
-one warm-up + sync, and `--reps` timed measurements that share the
-compiled executable — ~3× cheaper per variant and the reps are free.
+hours. This tool handles the TRACE-TIME knobs (every DVDGAN lowering knob
+is read lazily inside the traced code as of round 4 — TRACE_TIME_KNOBS
+below is the verified list) in ONE process: one shared CPU init, then per
+variant a fresh jit (re-trace reads the flipped env), one warm-up + sync,
+and `--reps` timed measurements that share the compiled executable — ~3×
+cheaper per variant and the reps are free. A --variant naming an env var
+OUTSIDE the verified list gets a loud warning: if that var is read at
+module import, the flip is silently ineffective in-process and the sweep
+would report distinct labels for identical configs (use tools/autotune.py
+for those).
 
 Timing methodology is bench.py's (the only honest one through the tunnel):
 `--steps` train steps scanned inside one executable, `--calls` dispatches
@@ -36,9 +40,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # the knobs this tool flips between traces; anything NOT in a variant's
-# env is restored to unset (code default) before that variant traces
+# env is restored to unset (code default) before that variant traces.
+# Every entry is VERIFIED lazily-read (function scope, re-read per trace) —
+# grep for env_choice/os.environ in dvdgan_tpu before adding one.
 TRACE_TIME_KNOBS = ("DVDGAN_DT_PREPOOL", "DVDGAN_TM_FAKES",
-                    "DVDGAN_ATTN_PROJ", "DVDGAN_GRU_ROWPACK")
+                    "DVDGAN_ATTN_PROJ", "DVDGAN_GRU_ROWPACK",
+                    "DVDGAN_TPHASE_INTERLEAVE", "DVDGAN_TEMPORAL_ATTN",
+                    "DVDGAN_GRU_BLOCKED", "DVDGAN_ATTN_PALLAS")
 
 DEFAULT_VARIANTS = [
     ("base", {}),
@@ -58,7 +66,17 @@ def parse_variant(spec: str):
             f"silently bench code defaults under that label; use "
             f"'name:VAR=v' (or 'name:' for code defaults)")
     from tools import _bench_common as bc
-    return name, bc.parse_kv(rest)   # strict: malformed segments raise
+    env = bc.parse_kv(rest)   # strict: malformed segments raise
+    for var in env:
+        if var.startswith("DVDGAN_") and var not in TRACE_TIME_KNOBS:
+            # an import-time knob flipped here would bench identical
+            # configs under distinct labels (ADVICE r3) — warn loudly
+            print(f"WARNING: {var} is not in the verified trace-time knob "
+                  f"list; if it is read at module import the flip is "
+                  f"INEFFECTIVE in-process — use tools/autotune.py "
+                  f"(subprocess-per-value) for it", file=sys.stderr,
+                  flush=True)
+    return name, env
 
 
 def run(variants, overrides: dict, reps: int, steps: int, calls: int,

@@ -6,9 +6,11 @@ Every knob below selects between lowerings that are the SAME MATH
 and XLA version — e.g. the Pallas spatial-attention kernel wins in
 isolation but loses in context on v5e, and `conv3d_tpair` wins at cout≥64
 and regresses below. This tool replaces hand-run A/B sessions: it benches
-each knob value in a fresh subprocess (several knobs are read at import),
-keeps a change only when the median improvement beats a noise threshold,
-and emits the winning environment.
+each knob value in a fresh subprocess (robust even for knobs read at
+module import — though as of round 4 every DVDGAN lowering knob is lazily
+read and tools/ab_inprocess.py A/Bs them far cheaper through the axon
+tunnel), keeps a change only when the median improvement beats a noise
+threshold, and emits the winning environment.
 
     python tools/autotune.py --reps 3 --threshold 1.0 --out tuned.env
     source tuned.env && python main.py ...
