@@ -183,6 +183,16 @@ def apply(params: dict, video: jax.Array, feature: str = "logits",
              or "avgpool" (1024-d Mixed_5c global average).
     resize:  spatial side the clip is bilinearly resized to before the net
              (published FVD uses 224); None = run at native resolution.
+
+    Resize CONVENTION (tested vs torch in tests/test_eval_twins.py):
+    jax.image.resize(method="bilinear") is half-pixel; at scale>1 (all
+    64px-generation protocols) it equals torch F.interpolate(
+    align_corners=False) to ~2e-7, and at scale<1 it antialiases,
+    equalling torch's antialias=True (PIL/TF2 convention). Residual risk:
+    the original TF1 FVD code's tf.image.resize_bilinear used the legacy
+    ASYMMETRIC grid — unverifiable in this sandbox (no network); if exact
+    published-number replication is required, re-check the resize grid
+    against the reference FVD implementation first.
     """
     x = video.astype(jnp.float32)
     if resize is not None and (x.shape[2] != resize or x.shape[3] != resize):

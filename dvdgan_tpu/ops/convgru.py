@@ -136,27 +136,42 @@ def convgru(p: dict, x_seq: jax.Array, h0: jax.Array | None = None,
             gx = jnp.moveaxis(gx.reshape(b, t, h, w, 2 * c), 1, 0)
             cx = jnp.moveaxis(cx.reshape(b, t, h, w, c), 1, 0)
 
+    blocked = False
     if use_pallas is None:
         # bf16-only: the f32 variant both blows Mosaic's scoped-VMEM stack
         # at generator shapes (measured: 16.55M scoped at a 4MB estimate)
         # and differs from the XLA conv by MXU default-precision
         # reassociation; bf16 is the production training dtype and the
         # only one where the fusion wins.
-        use_pallas = (PALLAS_ENABLED
-                      and jax.default_backend() not in ("cpu",)
-                      and x_seq.dtype == jnp.bfloat16
-                      # the SEQUENCE kernel's own estimate (carry scratch +
-                      # pipelined time windows), not the smaller cell one
-                      and kernels.convgru_seq.fits_vmem(
-                          b, h, w, c, x_seq.dtype.itemsize))
+        pallas_ok = (PALLAS_ENABLED
+                     and jax.default_backend() not in ("cpu",)
+                     and x_seq.dtype == jnp.bfloat16)
+        # the SEQUENCE kernel's own estimate (carry scratch + pipelined
+        # time windows), not the smaller cell one
+        use_pallas = pallas_ok and kernels.convgru_seq.fits_vmem(
+            b, h, w, c, x_seq.dtype.itemsize)
+        # levels too big for the whole-plane kernel (64×64×64 at 128px and
+        # everything larger at 256px) can use the SPATIALLY-BLOCKED kernel
+        # (H-tiled grid, recurrence + halos in persistent VMEM planes) —
+        # trace-time knob, MEASURED default (see convgru_blocked.py /
+        # PERF.md round 4)
+        blocked = (not use_pallas and pallas_ok
+                   and layers.env_choice("DVDGAN_GRU_BLOCKED", "off",
+                                         ("auto", "off")) == "auto"
+                   and kernels.convgru_blocked.fits(
+                       b, h, w, c, x_seq.dtype.itemsize))
 
-    if use_pallas:
+    if use_pallas or blocked:
         # ONE kernel for the whole unroll: grid over (batch-blocks, T) with
         # the recurrence carried in VMEM scratch — no scan, no per-step
-        # kernel launches (kernels/convgru_seq.py)
+        # kernel launches (kernels/convgru_seq.py); or the H-blocked
+        # variant when the whole plane doesn't fit (convgru_blocked.py)
         wg = p["gates_h"]["w"].astype(x_seq.dtype)
         wc = p["cand_h"]["w"].astype(x_seq.dtype)
-        hs = kernels.gru_sequence_fused(gx, cx, h0, wg, wc)
+        if blocked:
+            hs = kernels.gru_sequence_blocked(gx, cx, h0, wg, wc)
+        else:
+            hs = kernels.gru_sequence_fused(gx, cx, h0, wg, wc)
         return hs if time_major else jnp.moveaxis(hs, 0, 1)
 
     # Scan fallback with the kernel path's VJP policy (save only hs,

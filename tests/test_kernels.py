@@ -452,3 +452,101 @@ def test_convgru_fallback_routes_through_scan_vjp(monkeypatch):
     x = jax.random.normal(jax.random.PRNGKey(7), (2, 5, 6, 6, 4))
     y = convgru.convgru(p, x, use_pallas=False)
     assert called.get("hit") and y.shape == x.shape
+
+
+# ------------------------------------------- spatially-blocked GRU kernel ---
+
+from dvdgan_tpu.kernels import convgru_blocked as kblk
+
+
+@pytest.mark.parametrize("plan_", [(1, 2), (2, 3), (1, 3)])
+def test_blocked_kernel_matches_reference(plan_):
+    """H-blocked grid == the sequence oracle across plans exercising
+    multiple batch blocks (carry re-seed), multiple H-blocks (interior
+    halos from the persistent planes) and edge blocks (zero SAME-pad)."""
+    args = _rand_seq_inputs(jax.random.PRNGKey(40), t=3, b=2, h=6, w=6, c=8)
+    hs = kblk.gru_sequence_blocked(*args, True, plan_)
+    ref = kseq._seq_reference(*args)
+    assert hs.shape == ref.shape
+    assert np.allclose(np.asarray(hs), np.asarray(ref), atol=1e-5)
+
+
+def test_blocked_kernel_bf16_matches_reference():
+    args = _rand_seq_inputs(jax.random.PRNGKey(46), t=3, b=2, h=6, w=6,
+                            c=8, dtype=jnp.bfloat16)
+    hs = kblk.gru_sequence_blocked(*args, True, (1, 3))
+    ref = kseq._seq_reference(*args)
+    assert hs.dtype == jnp.bfloat16
+    assert np.allclose(np.asarray(hs, np.float32),
+                       np.asarray(ref, np.float32), atol=3e-2)
+
+
+def test_blocked_kernel_gradients_close_to_reference():
+    """The custom VJP (shared saved-hs reverse scan) == exact BPTT through
+    the oracle at f32."""
+    args = _rand_seq_inputs(jax.random.PRNGKey(44), t=3, b=1, h=4, w=4, c=4)
+
+    def loss_k(*a):
+        return (kblk.gru_sequence_blocked(*a, True, (1, 2))
+                .astype(jnp.float32) ** 2).mean()
+
+    def loss_r(*a):
+        return (kseq._seq_reference(*a).astype(jnp.float32) ** 2).mean()
+
+    gk = jax.grad(loss_k, argnums=tuple(range(5)))(*args)
+    gr = jax.grad(loss_r, argnums=tuple(range(5)))(*args)
+    for a, b in zip(gk, gr):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_blocked_planner_and_gates(monkeypatch):
+    """The 128px 64×64×64 level (batch 8, bf16) — the exact shape the
+    whole-plane kernel rejects — gets a valid blocked plan with ≥2
+    H-blocks; an impossible budget yields None and a loud refusal."""
+    assert not kseq.fits_vmem(8, 64, 64, 64, 2)
+    p = kblk.plan(8, 64, 64, 64, 2)
+    assert p is not None
+    bb, hbs = p
+    assert 8 % bb == 0 and 64 % hbs == 0 and hbs < 64
+
+    monkeypatch.setattr(kblk, "_BLOCKED_VMEM_LIMIT_BYTES", 1)
+    assert kblk.plan(2, 4, 4, 8, 4) is None
+    assert not kblk.fits(2, 4, 4, 8, 4)
+    args = _rand_seq_inputs(jax.random.PRNGKey(43), t=2, b=2, h=4, w=4, c=8)
+    with pytest.raises(ValueError, match="does not fit"):
+        kblk.gru_sequence_blocked(*args, True)
+
+
+def test_convgru_routes_blocked_when_seq_unfit(monkeypatch):
+    """ops/convgru.py's auto path: when the whole-plane kernel's VMEM gate
+    rejects but the blocked planner fits AND DVDGAN_GRU_BLOCKED=auto, the
+    blocked kernel is selected (bf16, non-CPU backend) — and the result
+    matches the scan fallback."""
+    c = 8
+    p = convgru.convgru_init(jax.random.PRNGKey(41), c)
+    x = jax.random.normal(
+        jax.random.PRNGKey(42), (2, 3, 6, 6, c)).astype(jnp.bfloat16)
+    want = convgru.convgru(p, x, use_pallas=False)
+
+    monkeypatch.setenv("DVDGAN_GRU_BLOCKED", "auto")
+    monkeypatch.setattr(convgru.kernels.convgru_seq, "fits_vmem",
+                        lambda *a, **k: False)
+    called = {}
+
+    def fake_blocked(gx, cx, h0, wg, wc, interpret=False, force_plan=None):
+        called["hit"] = True
+        return kblk.gru_sequence_blocked(gx, cx, h0, wg, wc, True, (1, 3))
+
+    monkeypatch.setattr(convgru.kernels, "gru_sequence_blocked",
+                        fake_blocked)
+    monkeypatch.setattr(convgru.jax, "default_backend", lambda: "tpu")
+    got = convgru.convgru(p, x)
+    assert called.get("hit")
+    assert np.allclose(np.asarray(got, np.float32),
+                       np.asarray(want, np.float32), atol=3e-2)
+
+    # default (off) must NOT route through the blocked kernel
+    monkeypatch.delenv("DVDGAN_GRU_BLOCKED")
+    called.clear()
+    convgru.convgru(p, x)
+    assert not called
