@@ -152,12 +152,17 @@ def convgru(p: dict, x_seq: jax.Array, h0: jax.Array | None = None,
             b, h, w, c, x_seq.dtype.itemsize)
         # levels too big for the whole-plane kernel (64×64×64 at 128px and
         # everything larger at 256px) can use the SPATIALLY-BLOCKED kernel
-        # (H-tiled grid, recurrence + halos in persistent VMEM planes) —
-        # trace-time knob, MEASURED default (see convgru_blocked.py /
-        # PERF.md round 4)
-        blocked = (not use_pallas and pallas_ok
-                   and layers.env_choice("DVDGAN_GRU_BLOCKED", "off",
-                                         ("auto", "off")) == "auto"
+        # (H-tiled grid, recurrence + halos in persistent VMEM planes).
+        # MEASURED (v5e ab_inprocess r4): neutral at 128px/T=12 (7.298 vs
+        # 7.325 steps/s) but a small win at 256px/T=48 (2.43 vs 2.40) —
+        # the same long-clip boundary as the Pallas BPTT kernel, so the
+        # default gates on T like PALLAS_BWD does. "on" forces it at any
+        # T (A/B); "off" never.
+        mode = layers.env_choice("DVDGAN_GRU_BLOCKED", "auto",
+                                 ("auto", "on", "off"))
+        blocked = (not use_pallas and pallas_ok and mode != "off"
+                   and (mode == "on"
+                        or t >= kernels.convgru_seq._PALLAS_BWD_MIN_T)
                    and kernels.convgru_blocked.fits(
                        b, h, w, c, x_seq.dtype.itemsize))
 

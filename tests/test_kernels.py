@@ -528,7 +528,7 @@ def test_convgru_routes_blocked_when_seq_unfit(monkeypatch):
         jax.random.PRNGKey(42), (2, 3, 6, 6, c)).astype(jnp.bfloat16)
     want = convgru.convgru(p, x, use_pallas=False)
 
-    monkeypatch.setenv("DVDGAN_GRU_BLOCKED", "auto")
+    monkeypatch.setenv("DVDGAN_GRU_BLOCKED", "on")   # force at tiny T
     monkeypatch.setattr(convgru.kernels.convgru_seq, "fits_vmem",
                         lambda *a, **k: False)
     called = {}
@@ -545,8 +545,15 @@ def test_convgru_routes_blocked_when_seq_unfit(monkeypatch):
     assert np.allclose(np.asarray(got, np.float32),
                        np.asarray(want, np.float32), atol=3e-2)
 
-    # default (off) must NOT route through the blocked kernel
+    # default (auto) gates on clip length: T=3 < the long-clip boundary
+    # must NOT route through the blocked kernel
     monkeypatch.delenv("DVDGAN_GRU_BLOCKED")
     called.clear()
     convgru.convgru(p, x)
     assert not called
+    # ...but a long clip (T >= _PALLAS_BWD_MIN_T) does
+    t_long = kseq._PALLAS_BWD_MIN_T
+    x_long = jax.random.normal(
+        jax.random.PRNGKey(43), (1, t_long, 6, 6, c)).astype(jnp.bfloat16)
+    convgru.convgru(p, x_long)
+    assert called.get("hit")
