@@ -20,10 +20,12 @@ here, to XLA:TPU convolutions on the MXU.
 
 from __future__ import annotations
 
+import itertools
 import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dvdgan_tpu.core import init as winit
 
@@ -90,15 +92,112 @@ def conv2d(p: Params, x: jax.Array, stride: int = 1, padding: str = "SAME"
            ) -> jax.Array:
     """x: (N, H, W, C) -> (N, H', W', C_out)."""
     w = p["w"].astype(x.dtype)
-    y = jax.lax.conv_general_dilated(
-        x, w,
-        window_strides=(stride, stride),
-        padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    if (stride == 1 and padding == "SAME" and w.shape[0] == 3
+            and w.shape[2] <= _STEM_DW_MAX_CIN and _stem_dw() == "im2col"):
+        y = _conv2d_stem(x, w)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=(stride, stride),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
+
+
+# ---------------------------------------------- small-cin weight gradient ----
+#
+# XLA lowers a conv's WEIGHT gradient as another convolution whose
+# contraction feature dim is the forward's cin. For the from-RGB stem convs
+# (cin = 3) that grad-conv fills 3 of the MXU's 128 lanes: profiled at
+# 256px/48f, DT's two stem dW fusions ran 5.9 ms EACH at 0.7% MXU — ~3% of
+# the whole train step in two ops. The im2col form computes the same sums
+# as ONE tall matmul instead: dW[taps·cin, cout] = cols[tokens, taps·cin]^T
+# · g[tokens, cout], with K = tokens (millions) giving full MXU depth; the
+# shifted-window cols tensor costs one taps× HBM pass. Forward and
+# input-grad are unchanged (the SAME lax conv ops autodiff emits); only
+# dW's summation ORDER changes (matmul reassociation — same exactness
+# class as the tpair/rowpack rewrites, grads tested against autodiff).
+# Trace-time knob DVDGAN_STEM_DW=im2col|conv — MEASURED LOSER, default
+# conv; see _stem_dw for the numbers and the lane-starved-concat analysis.
+
+_STEM_DW_MAX_CIN = 4
+
+
+def _stem_dw() -> str:
+    """Trace-time A/B knob (lazy read per trace; fresh-closure caveat as
+    _tphase_interleave). MEASURED LOSER (v5e 256px/48f ab_inprocess,
+    3 reps, 2026-08-20): im2col 2.409 vs conv 2.474 steps/s (−2.6%,
+    non-overlapping reps) — the tall matmul is fast, but building its
+    cols operand means reading/writing a taps× copy of the stem input
+    at cin=3 of 128 LANES (the concat inherits the exact lane
+    starvation the rewrite was meant to escape), and that traffic
+    exceeds the 5.9 ms grad-conv it replaces. Default conv (XLA's
+    lowering); knob + equivalence tests kept for re-measurement if a
+    lane-major cols layout is ever built."""
+    return env_choice("DVDGAN_STEM_DW", "conv", ("im2col", "conv"))
+
+
+def _dw_im2col(x_pad: jax.Array, g: jax.Array, offsets, out_shape, dtype):
+    """dW via one tall matmul. x_pad: spatially padded input; g: output
+    cotangent; offsets: per-tap start indices into x_pad (tap-major,
+    cin stays minor). Accumulates in f32 (the MXU's native accumulator —
+    XLA's grad-conv does the same)."""
+    spatial = g.shape[1:-1]
+    cols = jnp.concatenate(
+        [jax.lax.slice(x_pad,
+                       (0, *off, 0),
+                       (x_pad.shape[0], *(o + s for o, s in zip(off, spatial)),
+                        x_pad.shape[-1]))
+         for off in offsets], axis=-1)
+    tokens = int(np.prod(g.shape[:-1]))
+    dw = jax.lax.dot_general(
+        cols.reshape(tokens, -1), g.reshape(tokens, g.shape[-1]),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return dw.reshape(out_shape).astype(dtype)
+
+
+def _make_stem_conv(nd: int):
+    """Build the custom-vjp stride-1 SAME k=3 conv for nd spatial dims."""
+    dn = ("NHWC", "HWIO", "NHWC") if nd == 2 else ("NDHWC", "DHWIO", "NDHWC")
+    ones = (1,) * nd
+
+    def fwd_conv(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=ones, padding="SAME",
+            dimension_numbers=dn)
+
+    @jax.custom_vjp
+    def stem_conv(x, w):
+        return fwd_conv(x, w)
+
+    def _fwd(x, w):
+        return fwd_conv(x, w), (x, w)
+
+    def _bwd(res, g):
+        x, w = res
+        # dx: exactly the transposed conv autodiff emits (flip taps, swap
+        # cin/cout) — unchanged from plain autodiff.
+        w_t = jnp.swapaxes(jnp.flip(w, tuple(range(nd))), -1, -2)
+        dx = jax.lax.conv_general_dilated(
+            g, w_t, window_strides=ones, padding="SAME",
+            dimension_numbers=dn)
+        # dW: im2col matmul (see block comment above).
+        pad = [(0, 0)] + [(1, 1)] * nd + [(0, 0)]
+        x_pad = jnp.pad(x, pad)
+        offsets = list(itertools.product(range(3), repeat=nd))
+        dw = _dw_im2col(x_pad, g, offsets, w.shape, w.dtype)
+        return dx, dw
+
+    stem_conv.defvjp(_fwd, _bwd)
+    return stem_conv
+
+
+_conv2d_stem = _make_stem_conv(2)
+_conv3d_stem = _make_stem_conv(3)
 
 
 # ---------------------------------------------------------------- conv3d ----
@@ -117,12 +216,17 @@ def conv3d(p: Params, x: jax.Array, stride: tuple[int, int, int] = (1, 1, 1),
     """x: (N, T, H, W, C) -> (N, T', H', W', C_out). Used by DT's first
     blocks (SURVEY.md §2.8): 3×3×3 kernels, NDHWC/DHWIO on the MXU."""
     w = p["w"].astype(x.dtype)
-    y = jax.lax.conv_general_dilated(
-        x, w,
-        window_strides=stride,
-        padding=padding,
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    )
+    if (stride == (1, 1, 1) and padding == "SAME"
+            and w.shape[:3] == (3, 3, 3)
+            and w.shape[3] <= _STEM_DW_MAX_CIN and _stem_dw() == "im2col"):
+        y = _conv3d_stem(x, w)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, w,
+            window_strides=stride,
+            padding=padding,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y

@@ -638,3 +638,59 @@ def test_upsample2x_conv3x3_shape_sweep(hw, cin, cout):
         {"w": w, "b": p["b"]}, x) ** 2).sum())(p["w"])
     np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_b),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("nd", [2, 3])
+def test_stem_dw_im2col_matches_conv(monkeypatch, nd):
+    """DVDGAN_STEM_DW=im2col (stem weight-grad as one tall im2col matmul —
+    the MXU-depth lowering for cin<=4 from-RGB convs, see layers._stem_dw)
+    == conv (XLA's grad-conv): forward and dx BITWISE (identical lax ops),
+    dW/db to f32 reassociation tolerance. 2-D and 3-D stems."""
+    rng = np.random.RandomState(7 + nd)
+    shape = (2, 8, 8, 3) if nd == 2 else (2, 4, 8, 8, 3)
+    conv = layers.conv2d if nd == 2 else layers.conv3d
+    x = jnp.asarray(rng.randn(*shape), jnp.float32)
+    cot = jnp.asarray(rng.randn(*shape[:-1], 5), jnp.float32)
+    p = {"w": jnp.asarray(rng.randn(*(3,) * nd, 3, 5) * 0.2, jnp.float32),
+         "b": jnp.asarray(rng.randn(5) * 0.1, jnp.float32)}
+
+    def run():
+        def loss(pp, q):
+            return jnp.vdot(conv(pp, q), cot)
+        y = conv(p, x)
+        gp, gx = jax.grad(loss, argnums=(0, 1))(p, x)
+        return y, gp["w"], gp["b"], gx
+
+    monkeypatch.setenv("DVDGAN_STEM_DW", "conv")
+    ref = run()
+    monkeypatch.setenv("DVDGAN_STEM_DW", "im2col")
+    new = run()
+    for name, a, b in zip(("y", "dw", "db", "dx"), ref, new):
+        if name == "dw":
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=5e-5)
+        else:   # same lax ops on both paths — bitwise
+            assert (np.asarray(a) == np.asarray(b)).all(), name
+
+
+def test_stem_dw_routing_respects_gates(monkeypatch):
+    """The im2col stem path must only engage at stride-1 SAME k=3 cin<=4:
+    wide-cin, strided, and 1x1 convs keep the plain lowering (checked via
+    the lowered HLO: the custom-vjp path lowers dW as dot, the plain path
+    as conv)."""
+    monkeypatch.setenv("DVDGAN_STEM_DW", "im2col")
+    rng = np.random.RandomState(11)
+
+    def dw_hlo(cin, stride, k):
+        x = jnp.asarray(rng.randn(1, 8, 8, cin), jnp.float32)
+        p = {"w": jnp.asarray(rng.randn(k, k, cin, 8) * 0.2, jnp.float32)}
+
+        def loss(pp):
+            return layers.conv2d(pp, x, stride=stride).sum()
+        return jax.jit(jax.grad(loss)).lower(p).as_text()
+
+    assert " dot(" in dw_hlo(3, 1, 3) or "dot_general" in dw_hlo(3, 1, 3)
+    for cin, stride, k in ((8, 1, 3), (3, 2, 3), (3, 1, 1)):
+        txt = dw_hlo(cin, stride, k)
+        assert " dot(" not in txt and "dot_general" not in txt, \
+            (cin, stride, k)

@@ -46,7 +46,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TRACE_TIME_KNOBS = ("DVDGAN_DT_PREPOOL", "DVDGAN_TM_FAKES",
                     "DVDGAN_ATTN_PROJ", "DVDGAN_GRU_ROWPACK",
                     "DVDGAN_TPHASE_INTERLEAVE", "DVDGAN_TEMPORAL_ATTN",
-                    "DVDGAN_GRU_BLOCKED", "DVDGAN_ATTN_PALLAS")
+                    "DVDGAN_GRU_BLOCKED", "DVDGAN_ATTN_PALLAS",
+                    "DVDGAN_STEM_DW")
 
 DEFAULT_VARIANTS = [
     ("base", {}),
