@@ -140,6 +140,26 @@ def _stem_dw() -> str:
     return env_choice("DVDGAN_STEM_DW", "conv", ("im2col", "conv"))
 
 
+def _sphase_interleave() -> str:
+    """Trace-time A/B knob for upsample2x_conv3x3's 2×2 spatial phase
+    interleave (lazy read; fresh-closure caveat as _tphase_interleave):
+      "stack"   — double stack + reshape (backward: slice-grad pads)
+      "scatter" — strided .at[::2].set into zeros (backward: strided
+                  gathers)
+    Same math (equivalence-tested both ways)."""
+    return env_choice("DVDGAN_SPHASE_INTERLEAVE", "stack",
+                      ("stack", "scatter"))
+
+
+def _ups_grad_barrier() -> str:
+    """Trace-time A/B knob: grad_barrier on upsample2x_conv3x3's output —
+    materializes the incoming cotangent before the interleave backward so
+    XLA can't drag the slice-grad pad fusion into the next layer's
+    ReLU-mask layout (the 256px profile shows those fused pads copied
+    TWICE through exotic layouts)."""
+    return env_choice("DVDGAN_UPS_GRAD_BARRIER", "off", ("on", "off"))
+
+
 def _dw_im2col(x_pad: jax.Array, g: jax.Array, offsets, out_shape, dtype):
     """dW via one tall matmul. x_pad: spatially padded input; g: output
     cotangent; offsets: per-tap start indices into x_pad (tap-major,
@@ -268,10 +288,21 @@ def upsample2x_conv3x3(p: Params, x: jax.Array) -> jax.Array:
     y01 = y[:, :h, 1:, 1 * cout:2 * cout]
     y10 = y[:, 1:, :wd, 2 * cout:3 * cout]
     y11 = y[:, 1:, 1:, 3 * cout:4 * cout]
-    top = jnp.stack([y00, y01], axis=3)               # (N, H, W, 2, Cout)
-    bot = jnp.stack([y10, y11], axis=3)
-    out = jnp.stack([top, bot], axis=2)               # (N, H, 2, W, 2, Cout)
-    out = out.reshape(n, 2 * h, 2 * wd, cout)
+    if _sphase_interleave() == "scatter":
+        # strided scatters: the BACKWARD of .at[::2].set is a strided
+        # GATHER per phase — no slice-grad pads to lay out (the stack
+        # variant's backward emits pad fusions whose exotic layouts cost
+        # two full-tensor copies each at the 256px top level).
+        out = jnp.zeros((n, 2 * h, 2 * wd, cout), y.dtype)
+        out = out.at[:, 0::2, 0::2].set(y00).at[:, 0::2, 1::2].set(y01)
+        out = out.at[:, 1::2, 0::2].set(y10).at[:, 1::2, 1::2].set(y11)
+    else:
+        top = jnp.stack([y00, y01], axis=3)           # (N, H, W, 2, Cout)
+        bot = jnp.stack([y10, y11], axis=3)
+        out = jnp.stack([top, bot], axis=2)           # (N, H, 2, W, 2, Cout)
+        out = out.reshape(n, 2 * h, 2 * wd, cout)
+    if _ups_grad_barrier() == "on":
+        out = grad_barrier(out)
     if "b" in p:
         out = out + p["b"].astype(x.dtype)
     return out

@@ -694,3 +694,31 @@ def test_stem_dw_routing_respects_gates(monkeypatch):
         txt = dw_hlo(cin, stride, k)
         assert " dot(" not in txt and "dot_general" not in txt, \
             (cin, stride, k)
+
+
+@pytest.mark.parametrize("variant,barrier",
+                         [("scatter", "off"), ("stack", "on")])
+def test_upsample_interleave_variants_agree(monkeypatch, variant, barrier):
+    """DVDGAN_SPHASE_INTERLEAVE=scatter (strided .at sets; backward =
+    strided gathers) and DVDGAN_UPS_GRAD_BARRIER=on (cotangent barrier at
+    the upsample output) are the same math as the default stack lowering —
+    forward bitwise (same phase convs), gradients to f32 tolerance."""
+
+    key = jax.random.PRNGKey(21)
+    p = layers.conv2d_init(key, 3, 5, 7)
+    x = jax.random.normal(jax.random.PRNGKey(22), (2, 4, 6, 5))
+
+    def run():
+        y = layers.upsample2x_conv3x3(p, x)
+        g = jax.grad(lambda p, x: (layers.upsample2x_conv3x3(p, x) ** 2)
+                     .sum(), argnums=(0, 1))(p, x)
+        return y, *jax.tree.leaves(g)
+
+    ref = run()   # code defaults: stack, barrier off
+    monkeypatch.setenv("DVDGAN_SPHASE_INTERLEAVE", variant)
+    monkeypatch.setenv("DVDGAN_UPS_GRAD_BARRIER", barrier)
+    new = run()
+    assert (np.asarray(ref[0]) == np.asarray(new[0])).all()
+    for a, b in zip(ref[1:], new[1:]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

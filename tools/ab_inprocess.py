@@ -47,7 +47,8 @@ TRACE_TIME_KNOBS = ("DVDGAN_DT_PREPOOL", "DVDGAN_TM_FAKES",
                     "DVDGAN_ATTN_PROJ", "DVDGAN_GRU_ROWPACK",
                     "DVDGAN_TPHASE_INTERLEAVE", "DVDGAN_TEMPORAL_ATTN",
                     "DVDGAN_GRU_BLOCKED", "DVDGAN_ATTN_PALLAS",
-                    "DVDGAN_STEM_DW")
+                    "DVDGAN_STEM_DW", "DVDGAN_SPHASE_INTERLEAVE",
+                    "DVDGAN_UPS_GRAD_BARRIER")
 
 DEFAULT_VARIANTS = [
     ("base", {}),
