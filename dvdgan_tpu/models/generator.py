@@ -25,9 +25,38 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from dvdgan_tpu.models.config import GConfig
 from dvdgan_tpu.ops import attention, convgru, layers, norm, resblocks
+
+
+def _remat_save() -> str:
+    """Trace-time A/B knob (lazy read; fresh-closure caveat as
+    layers._tphase_interleave) selecting WHICH named intermediates the
+    per-level remat may keep instead of recomputing:
+      "none"    — plain jax.checkpoint (recompute everything; the round-1
+                  policy that makes 256px/48f fit at batch 1)
+      "gru"     — save each level's ConvGRU output sequence ("gru_hs"):
+                  the backward skips re-running the SEQUENTIAL scans /
+                  Pallas kernels (only the batch-parallel gate input convs
+                  recompute as the custom-VJP residuals). ~185 MB of bf16
+                  residuals at 256px/48f batch 1.
+      "ups"     — save each upsample2x_conv3x3 output ("ups_out"): the
+                  backward skips recomputing the phase-interleave pad/copy
+                  chains the 256px profile pinned (~385 MB there).
+      "gru+ups" — both (~570 MB).
+    Exact math either way — a checkpoint policy changes only what is
+    recomputed, and recompute is deterministic (bitwise-tested).
+
+    MEASURED DEFAULT "gru+ups" (v5e, 2026-08-20, ab_inprocess 3 reps,
+    256px/48f batch 1 — the one shipped remat config): none 2.489 /
+    gru 2.512 / ups 2.536 / gru+ups 2.558 steps/s (+2.8%, additive,
+    all rep spreads <0.1%); the grad-accum batch-4 variant also fits
+    and speeds up (see PERF.md session 14). Set DVDGAN_REMAT_SAVE=none
+    to reclaim the residual HBM on memory-tight custom configs."""
+    return layers.env_choice("DVDGAN_REMAT_SAVE", "gru+ups",
+                             ("none", "gru", "ups", "gru+ups"))
 
 
 def init(key: jax.Array, cfg: GConfig) -> tuple[dict, dict]:
@@ -174,15 +203,19 @@ def apply(params: dict, stats: dict, z: jax.Array, y: jax.Array,
         if enc_seq is not None:
             # FP warm-up: the level's own GRU scans the encoded prefix;
             # its final hidden state seeds the generation scan
-            warm = convgru.convgru(lvl["gru"], enc_seq, time_major=True)
+            warm = checkpoint_name(
+                convgru.convgru(lvl["gru"], enc_seq, time_major=True),
+                "gru_hs")
             h0 = warm[-1]
         else:
             h0 = None
         # level 0's generation input is the seed broadcast over time —
         # the GRU input conv runs once and broadcasts (exact, 1/T FLOPs)
-        h_seq = convgru.convgru(lvl["gru"], x_seq, h0=h0,
-                                time_major=True,
-                                x_static=(i == 0))             # (T,B,H,W,C)
+        h_seq = checkpoint_name(
+            convgru.convgru(lvl["gru"], x_seq, h0=h0,
+                            time_major=True,
+                            x_static=(i == 0)),                # (T,B,H,W,C)
+            "gru_hs")
         hw = h_seq.shape[2]
         h = h_seq.reshape(t * b, hw, hw, h_seq.shape[-1])      # fold time
         h, s = resblocks.gresblock(
@@ -197,8 +230,19 @@ def apply(params: dict, stats: dict, z: jax.Array, y: jax.Array,
     if cfg.remat:
         # recompute each level's activations in backward: HBM footprint of
         # the backward drops from O(levels · T · H · W · C) to one level's
-        # worth — what makes the 48-frame / 256px configs fit (SURVEY §5.7)
-        level_body = jax.checkpoint(level_body, static_argnums=(5,))
+        # worth — what makes the 48-frame / 256px configs fit (SURVEY §5.7).
+        # DVDGAN_REMAT_SAVE buys back targeted recompute (the sequential
+        # GRU scans / the interleave glue) with named saveables when the
+        # config has HBM headroom — see _remat_save.
+        save = _remat_save()
+        if save == "none":
+            level_body = jax.checkpoint(level_body, static_argnums=(5,))
+        else:
+            names = {"gru": ("gru_hs",), "ups": ("ups_out",),
+                     "gru+ups": ("gru_hs", "ups_out")}[save]
+            level_body = jax.checkpoint(
+                level_body, static_argnums=(5,),
+                policy=jax.checkpoint_policies.save_only_these_names(*names))
 
     new_stats_levels = []
     for i in range(n):

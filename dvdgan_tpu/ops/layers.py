@@ -26,6 +26,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from dvdgan_tpu.core import init as winit
 
@@ -305,7 +306,11 @@ def upsample2x_conv3x3(p: Params, x: jax.Array) -> jax.Array:
         out = grad_barrier(out)
     if "b" in p:
         out = out + p["b"].astype(x.dtype)
-    return out
+    # remat saveable tag: identity outside jax.checkpoint; under the
+    # generator's DVDGAN_REMAT_SAVE=ups|gru+ups policy the interleaved
+    # output is SAVED so the backward never recomputes the phase-interleave
+    # pad/copy chains (the 256px profile's largest forward-glue cluster).
+    return checkpoint_name(out, "ups_out")
 
 
 def conv2d_rowpair(p: Params, x: jax.Array) -> jax.Array:

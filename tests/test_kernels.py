@@ -273,6 +273,21 @@ def test_bwd_vmem_gate_is_bwd_specific():
     assert not kbwd.fits_vmem(8, 32, 32, 64, 4)   # ...bwd must not
 
 
+def test_bwd_vmem_budget_env_override(monkeypatch):
+    """DVDGAN_GRU_BWD_MB moves the admission boundary per trace (the
+    ab_inprocess calibration knob); bogus values fail loudly."""
+    import pytest
+
+    assert kbwd.fits_vmem(8, 32, 32, 64, 2)           # 8.33 MB < 9 default
+    monkeypatch.setenv("DVDGAN_GRU_BWD_MB", "8")
+    assert not kbwd.fits_vmem(8, 32, 32, 64, 2)
+    monkeypatch.setenv("DVDGAN_GRU_BWD_MB", "8.5")
+    assert kbwd.fits_vmem(8, 32, 32, 64, 2)
+    monkeypatch.setenv("DVDGAN_GRU_BWD_MB", "lots")
+    with pytest.raises(ValueError, match="DVDGAN_GRU_BWD_MB"):
+        kbwd.fits_vmem(8, 32, 32, 64, 2)
+
+
 def test_bwd_selection_falls_back_when_unfit(monkeypatch):
     """_bwd with the kernel forced ON still takes the scan path when the
     bwd-specific VMEM gate rejects the shape (instead of a Mosaic OOM)."""
@@ -339,7 +354,8 @@ def _bwd_ws(bb, h, w, c, itemsize):
     pads = 5 * bb * (h + 2) * (w + 2) * c * itemsize
     carry = n * c * itemsize
     io = 10 * n * c * itemsize
-    rowpack = 3 * n * c * itemsize if kc._rowpack() else 0
+    # widest rowpacked input: the transposed conv over the 2C-wide pad2c
+    rowpack = 3 * n * 2 * c * itemsize if kc._rowpack() else 0
     return f32 + pads + carry + io + rowpack
 
 

@@ -142,3 +142,36 @@ def test_remat_gradients_match_nonremat():
     g2 = jax.grad(lambda p: loss(p, cfg_r))(p)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_remat_save_policies_bitwise(monkeypatch):
+    """DVDGAN_REMAT_SAVE selects WHICH named intermediates remat keeps
+    (gru_hs / ups_out) — a pure recompute-schedule change: the op graph is
+    identical, so losses and gradients must be BITWISE equal to the
+    default recompute-everything policy. Trace-time knob: each variant
+    traces a fresh closure (layers._tphase_interleave caveat)."""
+    import dataclasses
+    cfg_r = dataclasses.replace(G_CFG, remat=True)
+    p, stats = generator.init(key(0), G_CFG)
+    z = jax.random.normal(key(1), (2, G_CFG.z_dim))
+    y = jnp.array([0, 3])
+
+    def run(save):
+        monkeypatch.setenv("DVDGAN_REMAT_SAVE", save)
+
+        def loss(p):
+            v, _ = generator.apply(p, stats, z, y, cfg_r, train=True)
+            return (v ** 2).mean()
+
+        return jax.value_and_grad(loss)(p)
+
+    l0, g0 = run("none")
+    for save in ("gru", "ups", "gru+ups"):
+        l1, g1 = run(save)
+        np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    import pytest
+    with pytest.raises(ValueError):
+        run("typo")
