@@ -20,6 +20,7 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 import jax
@@ -88,6 +89,46 @@ CALLS = 8    # timed host-loop calls (one final scalar fetch = ONE ~35 ms
 _LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "BENCH_LAST_GOOD.json")
 
+# Exactly ONE JSON line may ever reach stdout. The watchdog (below) and the
+# main path race only through emit_line(), which flips _emitted under a lock.
+_emit_lock = threading.Lock()
+_emitted = False
+
+
+def emit_line(line: dict) -> bool:
+    """Print the one JSON line, first caller wins. Returns False if some
+    other path already printed (the caller should NOT print anything)."""
+    global _emitted
+    with _emit_lock:
+        if _emitted:
+            return False
+        _emitted = True
+    print(json.dumps(line), flush=True)
+    return True
+
+
+def start_watchdog(deadline_s: float) -> threading.Timer:
+    """Round 4 post-mortem (VERDICT r4 missing #1): the driver killed
+    bench.py at ~30 min with ZERO stdout — the fallback only guarded
+    "device never came up", and the 3600 s device wait plus an unbounded
+    compile meant fallback_line was mathematically unreachable in every
+    slow failure mode. This watchdog makes the one-line contract
+    unconditional: a daemon timer that, `deadline_s` after process start,
+    prints the last-good fallback line and hard-exits 0. os._exit (not
+    sys.exit) because the main thread may be wedged inside a remote
+    compile RPC that never returns and cannot be interrupted."""
+    def _fire():
+        if emit_line(fallback_line(
+                f"bench deadline {deadline_s:.0f}s expired "
+                "(device wait, compile, or run overran; see "
+                "DVDGAN_BENCH_DEADLINE_S)")):
+            sys.stdout.flush()
+        os._exit(0)
+    t = threading.Timer(deadline_s, _fire)
+    t.daemon = True
+    t.start()
+    return t
+
 
 def fallback_line(reason: str) -> dict:
     """Device never came up: report the last committed ON-CHIP measurement
@@ -129,14 +170,28 @@ def record_last_good(line: dict) -> None:
               file=sys.stderr)
 
 
+def wait_budget(deadline_s: float) -> float:
+    """Device-wait budget: the env wait capped so the watchdog (not the
+    wait) owns the deadline — at least 120 s is reserved for compile+run
+    so a device that comes up late still gets a (fallback-guarded) shot."""
+    return min(float(os.environ.get("DVDGAN_BENCH_WAIT_S", "3600")),
+               max(deadline_s - 120.0, 60.0))
+
+
 def main():
-    # default raised 900->3600 after an axon outage that lasted hours:
-    # the driver's round-end bench should ride out a recovery tail rather
-    # than record a failure a few minutes short of it
+    # Overall wall-clock deadline covering wait+compile+run. Default 1200 s:
+    # comfortably under the driver's ~30-min budget (which killed round 4's
+    # bench with zero stdout), while fitting a fresh ~16-min remote compile
+    # when the cache is warm-adjacent. The device wait is capped at the
+    # deadline minus a compile/run reserve — the old 3600 s default
+    # exceeded the driver budget, making the fallback unreachable.
+    deadline_s = float(os.environ.get("DVDGAN_BENCH_DEADLINE_S", "1200"))
+    start_watchdog(deadline_s)
+    wait_s = wait_budget(deadline_s)
     try:
-        wait_for_device(float(os.environ.get("DVDGAN_BENCH_WAIT_S", "3600")))
+        wait_for_device(wait_s)
     except RuntimeError as e:
-        print(json.dumps(fallback_line(str(e))))
+        emit_line(fallback_line(str(e)))
         return
     from dvdgan_tpu.utils.cache import enable_persistent_compilation_cache
     enable_persistent_compilation_cache()
@@ -176,7 +231,7 @@ def main():
         "measured_this_run": True,
     }
     record_last_good(line)
-    print(json.dumps(line))
+    emit_line(line)
 
 
 if __name__ == "__main__":

@@ -93,7 +93,7 @@ def conv2d(p: Params, x: jax.Array, stride: int = 1, padding: str = "SAME"
            ) -> jax.Array:
     """x: (N, H, W, C) -> (N, H', W', C_out)."""
     w = p["w"].astype(x.dtype)
-    if (stride == 1 and padding == "SAME" and w.shape[0] == 3
+    if (stride == 1 and padding == "SAME" and w.shape[:2] == (3, 3)
             and w.shape[2] <= _STEM_DW_MAX_CIN and _stem_dw() == "im2col"):
         y = _conv2d_stem(x, w)
     else:

@@ -1,7 +1,7 @@
 """Multi-host (multi-process) DP + CP smoke — SURVEY.md §5.8 / r1 §2.16.
 
 Forms a real 2-process jax.distributed cluster on localhost (CPU backend,
-2 virtual devices per process → a 4-device global mesh), then runs FIVE
+2 virtual devices per process → a 4-device global mesh), then runs SIX
 train legs and checks the replicated state agrees
 bitwise across processes (printed digests):
 
@@ -23,6 +23,9 @@ bitwise across processes (printed digests):
      processes: DT's ppermute frame-halo exchange and the time-axis
      score psum cross the process boundary (the pod-scale long-clip
      topology, SURVEY §5.7).
+  3. FP: DVD-GAN-FP (cond_frames=2) on the same cross-process CP mesh —
+     the frame-conditioned step's cond-concat full-res DT input and
+     fp_enc gradients ride the cross-host halo/psum streams.
 
 This is the same code path a TPU pod runs (jax.distributed.initialize →
 mesh over jax.devices() → make_parallel_train_step); only the transport
@@ -85,11 +88,15 @@ def worker(pid: int) -> None:
     dt_cfg = DTConfig(img_size=32, n_frames=4, ch=8, n_classes=5)
     tc = TrainConfig(d_steps=1, batch_size=n)
 
-    def run_leg(tag: str, mesh, local_input: bool = False) -> None:
+    def run_leg(tag: str, mesh, local_input: bool = False,
+                gcfg=None) -> None:
+        gcfg = gcfg or g_cfg
+        clip_len = gcfg.n_frames + gcfg.cond_frames
         state = parallel.replicate_state(
-            mesh, create(jax.random.PRNGKey(0), g_cfg, ds_cfg, dt_cfg, tc))
+            mesh, create(jax.random.PRNGKey(0), gcfg, ds_cfg, dt_cfg, tc))
         rng = np.random.RandomState(0)
-        real = rng.randn(tc.batch_size, 4, 32, 32, 3).astype(np.float32)
+        real = rng.randn(tc.batch_size, clip_len, 32, 32,
+                         3).astype(np.float32)
         y = (np.arange(tc.batch_size) % 5).astype(np.int32)
         if local_input:
             # pod-scale input pipeline: this process materializes ONLY the
@@ -104,7 +111,7 @@ def worker(pid: int) -> None:
             # with the batch sharding keeps only this process's shards
             real_d, y_d = parallel.shard_batch(mesh, real, y)
 
-        step = parallel.make_parallel_train_step(g_cfg, ds_cfg, dt_cfg, tc,
+        step = parallel.make_parallel_train_step(gcfg, ds_cfg, dt_cfg, tc,
                                                  mesh)
         state, metrics = step(state, real_d, y_d, jax.random.PRNGKey(1))
 
@@ -210,6 +217,15 @@ def worker(pid: int) -> None:
     # processes: the DT halo ppermute and time-score psum cross hosts
     run_leg("cp", parallel.make_mesh(
         shape=(2, 2), axis_names=(parallel.TIME_AXIS, parallel.DATA_AXIS)))
+    # DVD-GAN-FP on the same cross-process CP topology: clip_len = 4+2 = 6
+    # divides the 2-way time axis; the cond-concat full-res DT input
+    # (train/step.py fake_full) and fp_enc grads ride the cross-host
+    # halo/psum streams — the FP-specific collective paths VERDICT r4
+    # flagged as uncovered multi-device.
+    run_leg("fp", parallel.make_mesh(
+        shape=(2, 2), axis_names=(parallel.TIME_AXIS, parallel.DATA_AXIS)),
+        gcfg=GConfig(img_size=32, n_frames=4, ch=8, z_dim=120, n_classes=5,
+                     emb_dim=16, attn_res=16, cond_frames=2))
 
 
 def main() -> None:
@@ -246,7 +262,7 @@ def main() -> None:
     rcs = [p.returncode for p in procs]
     digests: dict[str, list] = {"dp": [], "dplocal": [], "cp": [],
                                 "chunk": [], "trainer": [],
-                                "trainer2": []}
+                                "trainer2": [], "fp": []}
     sample_digests: list = []
     for i, out in enumerate(outs):
         print(f"--- worker {i} (rc={rcs[i]}) ---")
