@@ -152,6 +152,17 @@ def _sphase_interleave() -> str:
                       ("stack", "scatter"))
 
 
+def _ups_pallas() -> str:
+    """Trace-time knob for the fused Pallas upsample kernel
+    (kernels/ups2x_fused.py — phase conv + interleave in one pass, the
+    256px glue-cluster attack):
+      "off"  — lax phase conv + stack interleave (measured default)
+      "fwd"  — Pallas forward, recompute lax backward
+      "full" — Pallas forward + Pallas backward (dxp/dwall accumulation)
+    Same math all three ways (oracle + gradient equivalence tested)."""
+    return env_choice("DVDGAN_UPS_PALLAS", "off", ("off", "fwd", "full"))
+
+
 def _ups_grad_barrier() -> str:
     """Trace-time A/B knob: grad_barrier on upsample2x_conv3x3's output —
     materializes the incoming cotangent before the interleave backward so
@@ -280,6 +291,22 @@ def upsample2x_conv3x3(p: Params, x: jax.Array) -> jax.Array:
     w10, w11 = cols(r1)                               # each (2, 2, Cin, Cout)
     wall = jnp.concatenate([w00, w01, w10, w11], axis=-1).astype(x.dtype)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ups_mode = _ups_pallas()
+    if ups_mode != "off":
+        from dvdgan_tpu.kernels import ups2x_fused
+        cin = x.shape[-1]
+        if ups2x_fused.fits_fwd(x.shape[1], x.shape[2], cin, cout,
+                                x.dtype.itemsize):
+            # interpreted on CPU (tests exercise the real routing; the
+            # knob's default-off keeps production CPU paths on lax)
+            out = ups2x_fused.ups2x(wall.reshape(4 * cin, 4 * cout), xp,
+                                    ups_mode == "full",
+                                    jax.default_backend() == "cpu")
+            if _ups_grad_barrier() == "on":
+                out = grad_barrier(out)
+            if "b" in p:
+                out = out + p["b"].astype(x.dtype)
+            return checkpoint_name(out, "ups_out")
     y = jax.lax.conv_general_dilated(
         xp, wall, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))   # (N, H+1, W+1, 4Cout)

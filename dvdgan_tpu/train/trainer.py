@@ -304,7 +304,12 @@ class Trainer:
         host_keys = env_choice("DVDGAN_HOST_KEYS", "on", ("on", "off"))
         if host_keys == "on":
             try:   # CPU-less platform configs (JAX_PLATFORMS=tpu): the
-                cpu0 = jax.devices("cpu")[0]   # knob quietly degrades
+                #    knob quietly degrades. LOCAL devices: in a
+                #    multi-process CPU cluster jax.devices("cpu")[0] is
+                #    process 0's device — non-addressable elsewhere, and
+                #    np.asarray(fold_in(...)) on it raises (caught by the
+                #    r5 multihost smoke's trainer leg).
+                cpu0 = jax.local_devices(backend="cpu")[0]
             except RuntimeError:
                 host_keys = "off"
         if host_keys == "on":

@@ -573,3 +573,99 @@ def test_convgru_routes_blocked_when_seq_unfit(monkeypatch):
         jax.random.PRNGKey(43), (1, t_long, 6, 6, c)).astype(jnp.bfloat16)
     convgru.convgru(p, x_long)
     assert called.get("hit")
+
+
+# ------------------------------------------------ fused upsample kernel ----
+
+from dvdgan_tpu.kernels import ups2x_fused as kups
+from dvdgan_tpu.ops import layers as L
+
+
+def _ups_inputs(key, n, h, w, cin, cout, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    wall = jax.random.normal(k1, (4 * cin, 4 * cout), dtype) * 0.3
+    x = jax.random.normal(k2, (n, h, w, cin), dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return wall, xp
+
+
+@pytest.mark.parametrize("force_bh", [None, 2, 4])
+def test_ups2x_forward_matches_oracle(force_bh):
+    """Fused phase-conv+interleave (interpret grid) == the lax oracle,
+    across 1-block and multi-block plans (halo rows between blocks)."""
+    wall, xp = _ups_inputs(jax.random.PRNGKey(0), 2, 8, 6, 8, 4)
+    got = kups.ups2x(wall, xp, True, True, force_bh)
+    ref = kups._lax_oracle(wall, xp)
+    assert got.shape == ref.shape == (2, 16, 12, 4)
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_ups2x_bf16_forward():
+    wall, xp = _ups_inputs(jax.random.PRNGKey(1), 1, 6, 6, 8, 8,
+                           jnp.bfloat16)
+    got = kups.ups2x(wall, xp, True, True, 3)
+    ref = kups._lax_oracle(wall, xp)
+    assert got.dtype == jnp.bfloat16
+    assert np.allclose(np.asarray(got, np.float32),
+                       np.asarray(ref, np.float32), atol=3e-2)
+
+
+@pytest.mark.parametrize("pallas_bwd", [True, False])
+def test_ups2x_gradients_match_oracle(pallas_bwd):
+    """Both backward modes (fused Pallas dxp/dwall accumulation; lax
+    recompute) == jax.vjp of the oracle: multi-block plan so the dxp
+    accumulator composes overlapping halo-row contributions."""
+    wall, xp = _ups_inputs(jax.random.PRNGKey(2), 2, 6, 4, 4, 8)
+
+    def loss_k(wall, xp):
+        return (kups.ups2x(wall, xp, pallas_bwd, True, 2)
+                .astype(jnp.float32) ** 2).mean()
+
+    def loss_r(wall, xp):
+        return (kups._lax_oracle(wall, xp).astype(jnp.float32) ** 2).mean()
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(wall, xp)
+    gr = jax.grad(loss_r, argnums=(0, 1))(wall, xp)
+    for a, b in zip(gk, gr):
+        assert a.shape == b.shape and a.dtype == b.dtype
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_ups2x_planner_and_budget(monkeypatch):
+    """Padded-allocation model (observed on v5e): the 256px top level
+    (128×128, 64→32, bf16) fits the forward; its BACKWARD's double-
+    buffered f32 whole-frame accumulator exceeds the 16 MB scoped-vmem
+    hard limit (measured OOM: 29.41M) so fits_bwd must refuse it — the
+    VJP falls back to the lax recompute there. Interior levels keep the
+    Pallas backward. An impossible budget refuses loudly."""
+    assert kups.fits_fwd(128, 128, 64, 32, 2)
+    assert not kups.fits_bwd(128, 128, 64, 32, 2)    # would scoped-OOM
+    assert kups.fits_bwd(64, 64, 128, 64, 2)
+    assert kups.fits_bwd(32, 32, 256, 128, 2)
+    assert kups.plan_fwd(128, 128, 64, 32, 2) >= 1
+    monkeypatch.setattr(kups, "_VMEM_LIMIT_BYTES", 1)
+    assert kups.plan_fwd(8, 8, 4, 4, 4) is None
+    with pytest.raises(ValueError, match="fits_fwd"):
+        kups._fwd_pallas(jnp.zeros((16, 16)), jnp.zeros((1, 10, 10, 4)))
+
+
+@pytest.mark.parametrize("mode", ["fwd", "full"])
+def test_upsample2x_conv3x3_pallas_integration(monkeypatch, mode):
+    """The layer-level knob routes through the fused kernel (interpreted
+    on CPU) and reproduces the default lax path — values AND gradients
+    (bias included: its grad flows outside the kernel)."""
+    monkeypatch.delenv("DVDGAN_UPS_PALLAS", raising=False)
+    key = jax.random.PRNGKey(3)
+    p = L.conv2d_init(key, 3, 8, 4)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 8, 8))
+
+    def loss(p, x):
+        return (L.upsample2x_conv3x3(p, x).astype(jnp.float32) ** 2).mean()
+
+    ref, gref = jax.value_and_grad(loss, argnums=(0, 1))(p, x), None
+    ref, gref = ref[0], ref[1]
+    monkeypatch.setenv("DVDGAN_UPS_PALLAS", mode)
+    got, ggot = jax.value_and_grad(loss, argnums=(0, 1))(p, x)
+    assert np.allclose(float(ref), float(got), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(gref), jax.tree.leaves(ggot)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
