@@ -171,21 +171,26 @@ def record_last_good(line: dict) -> None:
 
 
 def wait_budget(deadline_s: float) -> float:
-    """Device-wait budget: the env wait capped so the watchdog (not the
-    wait) owns the deadline — at least 120 s is reserved for compile+run
-    so a device that comes up late still gets a (fallback-guarded) shot."""
-    return min(float(os.environ.get("DVDGAN_BENCH_WAIT_S", "3600")),
-               max(deadline_s - 120.0, 60.0))
+    """Device-wait budget: the env wait (default 300 s — riding out an
+    hours-long axon outage inside ONE bench process is pointless when the
+    driver kills at ~30 min with zero stdout) capped so at least 600 s of
+    the deadline is reserved for compile+run. The reserve matters for the
+    COLD-CACHE case: if the wait ate the deadline, the watchdog would
+    kill the fresh ~5–16-min remote compile mid-flight, the persistent
+    cache would never warm (XLA writes it only on compile completion),
+    and every later run would repeat the kill — a stale-fallback
+    livelock. 600 s covers the observed fresh flagship compile (~150 s)
+    with 4× margin."""
+    return min(float(os.environ.get("DVDGAN_BENCH_WAIT_S", "300")),
+               max(deadline_s - 600.0, 60.0))
 
 
 def main():
-    # Overall wall-clock deadline covering wait+compile+run. Default 1200 s:
-    # comfortably under the driver's ~30-min budget (which killed round 4's
-    # bench with zero stdout), while fitting a fresh ~16-min remote compile
-    # when the cache is warm-adjacent. The device wait is capped at the
-    # deadline minus a compile/run reserve — the old 3600 s default
-    # exceeded the driver budget, making the fallback unreachable.
-    deadline_s = float(os.environ.get("DVDGAN_BENCH_DEADLINE_S", "1200"))
+    # Overall wall-clock deadline covering wait+compile+run. Default
+    # 1500 s: under the driver's ~30-min budget (which killed round 4's
+    # bench with zero stdout) while fitting a fresh ~16-min remote
+    # compile after the (capped) device wait — see wait_budget.
+    deadline_s = float(os.environ.get("DVDGAN_BENCH_DEADLINE_S", "1500"))
     start_watchdog(deadline_s)
     wait_s = wait_budget(deadline_s)
     try:

@@ -95,7 +95,7 @@ def _fwd_bytes(bh: int, h: int, w: int, cin: int, cout: int,
     frame = 2 * (h + 2) * (w + 2) * _pad128(cin) * itemsize   # xp, 2×buf
     out = 2 * (2 * bh) * w * _pad128(2 * cout) * itemsize     # 2×buf
     phases = 4 * bh * w * _pad128(cout) * 4                   # f32 scratch
-    wall = 4 * cin * _pad128(4 * cout) * itemsize
+    wall = 2 * 4 * cin * _pad128(4 * cout) * itemsize         # 2×buf
     acc = 2 * (w + 1) * _pad128(4 * cout) * 4                 # row temps
     return frame + out + phases + wall + acc
 
@@ -106,9 +106,10 @@ def _bwd_bytes(bh: int, h: int, w: int, cin: int, cout: int,
     dxp = 2 * (h + 2) * (w + 2) * _pad128(cin) * 4            # f32, 2×buf
     dv = 2 * 2 * bh * w * _pad128(2 * cout) * itemsize        # 2×buf
     dphase = 4 * (bh + 1) * (w + 1) * _pad128(cout) * 4
-    dwall = 2 * 4 * cin * _pad128(4 * cout) * 4
+    dwall = 2 * 4 * cin * _pad128(4 * cout) * 4               # f32 out, 2×buf
+    wall = 2 * 4 * cin * _pad128(4 * cout) * itemsize         # operand, 2×buf
     temps = 2 * (w + 1) * (_pad128(4 * cout) + _pad128(cin)) * 4
-    return frame + dxp + dv + dphase + dwall + temps
+    return frame + dxp + dv + dphase + dwall + wall + temps
 
 
 def plan_fwd(h: int, w: int, cin: int, cout: int, itemsize: int = 2):
@@ -152,7 +153,6 @@ def _fwd_pallas(wall, xp, interpret=False, force_bh=None):
             f"ups2x fused forward does not fit VMEM at ({h},{w},{cin},"
             f"{cout}) — gate with fits_fwd")
     n_hb = h // bh
-    tokens = (bh + 1) * (w + 1)
 
     def kernel(xp_ref, wall_ref, out_ref, y00, y01, y10, y11):
         hb = pl.program_id(1)
@@ -225,7 +225,6 @@ def _bwd_pallas(wall, xp, dview, interpret=False, force_bh=None):
             f"ups2x fused backward does not fit VMEM at ({h},{w},{cin},"
             f"{cout}) — gate with fits_bwd")
     n_hb = h // bh
-    tokens = (bh + 1) * (w + 1)
 
     def kernel(xp_ref, wall_ref, dv_ref, dwall_ref, dxp_ref,
                dy00, dy01, dy10, dy11):

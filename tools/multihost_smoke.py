@@ -247,7 +247,7 @@ def main() -> None:
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for i in range(2)]
     try:
-        # six digest tags across the legs: several train-step/sample/
+        # seven digest tags across the legs: several train-step/sample/
         # restore compiles contend on the 1-core host on a cold cache
         # (the persistent cache amortizes repeats)
         outs = [p.communicate(timeout=1800)[0] for p in procs]
