@@ -669,3 +669,76 @@ def test_upsample2x_conv3x3_pallas_integration(monkeypatch, mode):
     assert np.allclose(float(ref), float(got), atol=1e-5)
     for a, b in zip(jax.tree.leaves(gref), jax.tree.leaves(ggot)):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+# --------------------------------------------- q-tiled spatial attention ---
+
+
+@pytest.mark.parametrize("force_bqr", [None, 2, 4])
+def test_tiled_attn_matches_reference_f32(force_bqr):
+    """q-row-tiled kernel (interpret grid) == the shared reference across
+    1-block and multi-block plans (kv recomputed per q-block)."""
+    args = _rand_attn_inputs(jax.random.PRNGKey(50))
+    out_k = ka.spatial_attn_tiled(*args, True, force_bqr)
+    out_r = ka._spatial_attn_reference(*args)
+    assert np.allclose(np.asarray(out_k), np.asarray(out_r), atol=1e-4)
+
+
+def test_tiled_attn_gradients_match_reference():
+    args = _rand_attn_inputs(jax.random.PRNGKey(51), n=1, h=4, w=4, c=8)
+
+    def loss_k(*a):
+        return (ka.spatial_attn_tiled(*a, True, 2)
+                .astype(jnp.float32) ** 2).mean()
+
+    def loss_r(*a):
+        return (ka._spatial_attn_reference(*a).astype(jnp.float32) ** 2).mean()
+
+    gk = jax.grad(loss_k, argnums=tuple(range(6)))(*args)
+    gr = jax.grad(loss_r, argnums=tuple(range(6)))(*args)
+    for a, b in zip(gk, gr):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_tiled_attn_planner_covers_64sq(monkeypatch):
+    """The 64² map (the shape the un-tiled kernel can NEVER hold) must
+    plan; an impossible budget refuses loudly."""
+    assert not ka.fits_vmem(64, 64, 64, 2)
+    assert ka.fits_tiled(64, 64, 64, 2)
+    assert 64 % ka.plan_tiled(64, 64, 64, 2) == 0
+    assert not ka.fits_tiled(63, 64, 64, 2)          # odd H: no pooling
+    monkeypatch.setattr(ka, "_TILED_VMEM_LIMIT_BYTES", 1)
+    assert ka.plan_tiled(8, 8, 16, 4) is None
+    with pytest.raises(ValueError, match="fits_tiled"):
+        args = _rand_attn_inputs(jax.random.PRNGKey(52))
+        ka._spatial_attn_tiled_pallas(*args, interpret=True)
+
+
+def test_separable_attn_routes_tiled_at_large_maps(monkeypatch):
+    """Auto-gate: DVDGAN_ATTN_PALLAS=on at a map too big for the un-tiled
+    kernel routes through spatial_attn_tiled (interpret-stubbed) and
+    matches the XLA path."""
+    import unittest.mock as mock
+    from dvdgan_tpu.ops import attention
+    p = attention.separable_attn_init(jax.random.PRNGKey(53), 16)
+    p["spatial"]["gamma"] = jnp.asarray(0.5, jnp.float32)
+    p["temporal"]["gamma"] = jnp.asarray(0.3, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(54), (1, 2, 8, 8, 16))
+    y_xla = attention.separable_attn(p, x, use_pallas=False)
+
+    real = ka.spatial_attn_tiled
+    called = {}
+
+    def interp(x, wq, wk, wv, wo, gamma, interpret=False, force_bqr=None):
+        called["hit"] = True
+        return real(x, wq, wk, wv, wo, gamma, True, force_bqr)
+
+    monkeypatch.setenv("DVDGAN_ATTN_PALLAS", "on")
+    monkeypatch.setattr(attention.jax, "default_backend", lambda: "tpu")
+    with mock.patch.object(attention.kernels.attention_spatial,
+                           "fits_vmem", lambda *a, **k: False), \
+         mock.patch.object(attention.kernels.attention_spatial,
+                           "spatial_attn_tiled", interp):
+        y_pl = attention.separable_attn(p, x)
+    assert called.get("hit")
+    assert np.allclose(np.asarray(y_xla), np.asarray(y_pl), atol=1e-4)
