@@ -742,3 +742,24 @@ def test_separable_attn_routes_tiled_at_large_maps(monkeypatch):
         y_pl = attention.separable_attn(p, x)
     assert called.get("hit")
     assert np.allclose(np.asarray(y_xla), np.asarray(y_pl), atol=1e-4)
+
+
+def test_ups2x_bwd_fallback_when_over_budget(monkeypatch):
+    """mode "full" at a shape whose BACKWARD plan doesn't fit must fall
+    back to the lax recompute VJP per level (the 256px top-level path) —
+    gradients still match the oracle."""
+    wall, xp = _ups_inputs(jax.random.PRNGKey(5), 1, 4, 4, 4, 4)
+    monkeypatch.setattr(kups, "_BWD_VMEM_LIMIT_BYTES", 1)
+    assert not kups.fits_bwd(4, 4, 4, 4, 4)
+
+    def loss_k(wall, xp):
+        return (kups.ups2x(wall, xp, True, True, 2)
+                .astype(jnp.float32) ** 2).mean()
+
+    def loss_r(wall, xp):
+        return (kups._lax_oracle(wall, xp).astype(jnp.float32) ** 2).mean()
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(wall, xp)
+    gr = jax.grad(loss_r, argnums=(0, 1))(wall, xp)
+    for a, b in zip(gk, gr):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
