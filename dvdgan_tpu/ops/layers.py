@@ -94,7 +94,8 @@ def conv2d(p: Params, x: jax.Array, stride: int = 1, padding: str = "SAME"
     """x: (N, H, W, C) -> (N, H', W', C_out)."""
     w = p["w"].astype(x.dtype)
     if (stride == 1 and padding == "SAME" and w.shape[:2] == (3, 3)
-            and w.shape[2] <= _STEM_DW_MAX_CIN and _stem_dw() == "im2col"):
+            and w.shape[2] <= _STEM_DW_MAX_CIN
+            and _stem_dw() in ("im2col", "tapdot")):
         y = _conv2d_stem(x, w)
     else:
         y = jax.lax.conv_general_dilated(
@@ -126,6 +127,23 @@ def conv2d(p: Params, x: jax.Array, stride: int = 1, padding: str = "SAME"
 
 _STEM_DW_MAX_CIN = 4
 
+# tapdot's measured win is the 256px DT 3-D stem (786k tokens, 27 taps:
+# +2.8%); 2-D stems lose everywhere tested (128px DS/DT −12.5%, flagship
+# −1.2..1.7% — the D-phase DS stem runs on the 2×batch real+fake concat
+# and crosses naive token thresholds). The "auto" default therefore
+# engages tapdot ONLY for 3-D stems at or above the token boundary;
+# 2-D stems keep XLA's grad-conv.
+_TAPDOT_MIN_TOKENS = 512 * 1024
+
+
+def _stem_tokens(shape) -> int:
+    """Batch·spatial token count of a stem conv output (= input, SAME
+    stride-1), from the trace-time activation shape."""
+    n = 1
+    for d in shape[:-1]:
+        n *= int(d)
+    return n
+
 
 def _stem_dw() -> str:
     """Trace-time A/B knob (lazy read per trace; fresh-closure caveat as
@@ -137,8 +155,21 @@ def _stem_dw() -> str:
     starvation the rewrite was meant to escape), and that traffic
     exceeds the 5.9 ms grad-conv it replaces. Default conv (XLA's
     lowering); knob + equivalence tests kept for re-measurement if a
-    lane-major cols layout is ever built."""
-    return env_choice("DVDGAN_STEM_DW", "conv", ("im2col", "conv"))
+    lane-major cols layout is ever built.
+
+    "tapdot" (r5): the cols-free third form — one (tokens, cin)ᵀ·
+    (tokens, cout) dot_general PER TAP, K = tokens at full MXU depth,
+    no taps×-concat intermediate. MEASURED (v5e ab_inprocess, 3 reps,
+    2026-08-20): 256px/48f **2.628 vs 2.557 (+2.8%) — WIN**; 128px/12f
+    6.40 vs 7.316 (−12.5%) and flagship 25.37 vs 25.68 (−1.2%) —
+    LOSERS. Strongly token-count-dependent, so the default "auto"
+    engages tapdot only when the stem's token count reaches
+    _TAPDOT_MIN_TOKENS (the 256px DT stem has 786k tokens and wins;
+    the 128px one has 393k and loses badly) and keeps XLA's grad-conv
+    below it — at the shipped presets "auto" is bitwise-identical to
+    the old default everywhere except 256px."""
+    return env_choice("DVDGAN_STEM_DW", "auto", ("auto", "im2col",
+                                                 "conv", "tapdot"))
 
 
 def _sphase_interleave() -> str:
@@ -192,6 +223,27 @@ def _dw_im2col(x_pad: jax.Array, g: jax.Array, offsets, out_shape, dtype):
     return dw.reshape(out_shape).astype(dtype)
 
 
+def _dw_tapdot(x_pad: jax.Array, g: jax.Array, offsets, out_shape, dtype):
+    """dW as one dot_general PER TAP — no cols concat: each tap's shifted
+    window feeds the matmul directly ((tokens, cin)ᵀ·(tokens, cout),
+    K = tokens full MXU depth, f32 accumulate). Same sums as the conv /
+    im2col forms up to reassociation."""
+    spatial = g.shape[1:-1]
+    tokens = int(np.prod(g.shape[:-1]))
+    gf = g.reshape(tokens, g.shape[-1])
+    dws = []
+    for off in offsets:
+        sl = jax.lax.slice(
+            x_pad, (0, *off, 0),
+            (x_pad.shape[0], *(o + s for o, s in zip(off, spatial)),
+             x_pad.shape[-1]))
+        dws.append(jax.lax.dot_general(
+            sl.reshape(tokens, -1), gf, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    dw = jnp.stack(dws)
+    return dw.reshape(out_shape).astype(dtype)
+
+
 def _make_stem_conv(nd: int):
     """Build the custom-vjp stride-1 SAME k=3 conv for nd spatial dims."""
     dn = ("NHWC", "HWIO", "NHWC") if nd == 2 else ("NDHWC", "DHWIO", "NDHWC")
@@ -217,11 +269,16 @@ def _make_stem_conv(nd: int):
         dx = jax.lax.conv_general_dilated(
             g, w_t, window_strides=ones, padding="SAME",
             dimension_numbers=dn)
-        # dW: im2col matmul (see block comment above).
+        # dW: im2col matmul or per-tap dots (see block comment above).
         pad = [(0, 0)] + [(1, 1)] * nd + [(0, 0)]
         x_pad = jnp.pad(x, pad)
         offsets = list(itertools.product(range(3), repeat=nd))
-        dw = _dw_im2col(x_pad, g, offsets, w.shape, w.dtype)
+        mode = _stem_dw()
+        if mode == "tapdot" or (mode == "auto" and _stem_tokens(g.shape)
+                                >= _TAPDOT_MIN_TOKENS):
+            dw = _dw_tapdot(x_pad, g, offsets, w.shape, w.dtype)
+        else:
+            dw = _dw_im2col(x_pad, g, offsets, w.shape, w.dtype)
         return dx, dw
 
     stem_conv.defvjp(_fwd, _bwd)
@@ -250,7 +307,10 @@ def conv3d(p: Params, x: jax.Array, stride: tuple[int, int, int] = (1, 1, 1),
     w = p["w"].astype(x.dtype)
     if (stride == (1, 1, 1) and padding == "SAME"
             and w.shape[:3] == (3, 3, 3)
-            and w.shape[3] <= _STEM_DW_MAX_CIN and _stem_dw() == "im2col"):
+            and w.shape[3] <= _STEM_DW_MAX_CIN
+            and (_stem_dw() in ("im2col", "tapdot")
+                 or (_stem_dw() == "auto"
+                     and _stem_tokens(x.shape) >= _TAPDOT_MIN_TOKENS))):
         y = _conv3d_stem(x, w)
     else:
         y = jax.lax.conv_general_dilated(

@@ -640,12 +640,13 @@ def test_upsample2x_conv3x3_shape_sweep(hw, cin, cout):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("mode", ["im2col", "tapdot"])
 @pytest.mark.parametrize("nd", [2, 3])
-def test_stem_dw_im2col_matches_conv(monkeypatch, nd):
-    """DVDGAN_STEM_DW=im2col (stem weight-grad as one tall im2col matmul —
-    the MXU-depth lowering for cin<=4 from-RGB convs, see layers._stem_dw)
-    == conv (XLA's grad-conv): forward and dx BITWISE (identical lax ops),
-    dW/db to f32 reassociation tolerance. 2-D and 3-D stems."""
+def test_stem_dw_im2col_matches_conv(monkeypatch, nd, mode):
+    """DVDGAN_STEM_DW=im2col (stem weight-grad as one tall im2col matmul)
+    and =tapdot (one dot_general per tap, no cols concat) == conv (XLA's
+    grad-conv): forward and dx BITWISE (identical lax ops), dW/db to f32
+    reassociation tolerance. 2-D and 3-D stems."""
     rng = np.random.RandomState(7 + nd)
     shape = (2, 8, 8, 3) if nd == 2 else (2, 4, 8, 8, 3)
     conv = layers.conv2d if nd == 2 else layers.conv3d
@@ -663,7 +664,7 @@ def test_stem_dw_im2col_matches_conv(monkeypatch, nd):
 
     monkeypatch.setenv("DVDGAN_STEM_DW", "conv")
     ref = run()
-    monkeypatch.setenv("DVDGAN_STEM_DW", "im2col")
+    monkeypatch.setenv("DVDGAN_STEM_DW", mode)
     new = run()
     for name, a, b in zip(("y", "dw", "db", "dx"), ref, new):
         if name == "dw":
@@ -722,3 +723,30 @@ def test_upsample_interleave_variants_agree(monkeypatch, variant, barrier):
     for a, b in zip(ref[1:], new[1:]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_stem_dw_auto_gates_3d_large_only(monkeypatch):
+    """Default "auto": tapdot engages ONLY for 3-D stems at/above the
+    token boundary (the measured-win class); 2-D stems and small 3-D
+    stems keep XLA's grad-conv (checked via lowered HLO as above)."""
+    monkeypatch.delenv("DVDGAN_STEM_DW", raising=False)
+    monkeypatch.setattr(layers, "_TAPDOT_MIN_TOKENS", 2 * 8 * 8 * 8)
+    rng = np.random.RandomState(13)
+
+    def dw_hlo(conv, shape, k):
+        x = jnp.asarray(rng.randn(*shape), jnp.float32)
+        p = {"w": jnp.asarray(rng.randn(*k, 3, 8) * 0.2, jnp.float32)}
+
+        def loss(pp):
+            return conv(pp, x).sum()
+        return jax.jit(jax.grad(loss)).lower(p).as_text()
+
+    # 3-D at the boundary: dot lowering (tapdot)
+    txt = dw_hlo(layers.conv3d, (2, 8, 8, 8, 3), (3, 3, 3))
+    assert " dot(" in txt or "dot_general" in txt
+    # 3-D below the boundary: plain grad-conv
+    txt = dw_hlo(layers.conv3d, (1, 4, 8, 8, 3), (3, 3, 3))
+    assert " dot(" not in txt and "dot_general" not in txt
+    # 2-D, ANY size: plain grad-conv under auto
+    txt = dw_hlo(layers.conv2d, (16, 8, 8, 3), (3, 3))
+    assert " dot(" not in txt and "dot_general" not in txt
