@@ -127,22 +127,35 @@ def conv2d(p: Params, x: jax.Array, stride: int = 1, padding: str = "SAME"
 
 _STEM_DW_MAX_CIN = 4
 
-# tapdot's measured win is the 256px DT 3-D stem (786k tokens, 27 taps:
-# +2.8%); 2-D stems lose everywhere tested (128px DS/DT −12.5%, flagship
-# −1.2..1.7% — the D-phase DS stem runs on the 2×batch real+fake concat
-# and crosses naive token thresholds). The "auto" default therefore
-# engages tapdot ONLY for 3-D stems at or above the token boundary;
-# 2-D stems keep XLA's grad-conv.
-_TAPDOT_MIN_TOKENS = 512 * 1024
+# tapdot's measured win is the 256px DT 3-D stem, which runs at 128×128
+# spatial (+3.4% with both its instances flipped). NEITHER dimensionality
+# nor token count separates win from loss on their own: 2-D stems lose
+# everywhere tested (flagship −1.2%), and the 128px D-phase DT stem has
+# the SAME 786k token count as a winning 256px instance but runs at
+# 64×64 spatial and loses ~10%. The empirical discriminator across all
+# six measured stem instances is the stem's SPATIAL map: wins at 128²,
+# losses at ≤64². The "auto" default therefore engages tapdot only for
+# 3-D stems whose spatial map is ≥ _TAPDOT_MIN_HW on both axes.
+_TAPDOT_MIN_HW = 128
 
 
-def _stem_tokens(shape) -> int:
-    """Batch·spatial token count of a stem conv output (= input, SAME
-    stride-1), from the trace-time activation shape."""
-    n = 1
-    for d in shape[:-1]:
-        n *= int(d)
-    return n
+def _tapdot_min_hw() -> int:
+    """Trace-time override of the auto boundary (A/B + custom-config
+    tuning knob)."""
+    v = os.environ.get("DVDGAN_TAPDOT_MIN_HW")
+    if v is None:
+        return _TAPDOT_MIN_HW
+    try:
+        return int(v)
+    except ValueError:
+        raise ValueError(f"DVDGAN_TAPDOT_MIN_HW={v!r}: must be an int")
+
+
+def _stem_hw_ok(shape) -> bool:
+    """True when the stem input's spatial map (last two dims before
+    channels) meets the auto boundary."""
+    th = _tapdot_min_hw()
+    return int(shape[-3]) >= th and int(shape[-2]) >= th
 
 
 def _stem_dw() -> str:
@@ -274,8 +287,7 @@ def _make_stem_conv(nd: int):
         x_pad = jnp.pad(x, pad)
         offsets = list(itertools.product(range(3), repeat=nd))
         mode = _stem_dw()
-        if mode == "tapdot" or (mode == "auto" and _stem_tokens(g.shape)
-                                >= _TAPDOT_MIN_TOKENS):
+        if mode == "tapdot" or (mode == "auto" and _stem_hw_ok(g.shape)):
             dw = _dw_tapdot(x_pad, g, offsets, w.shape, w.dtype)
         else:
             dw = _dw_im2col(x_pad, g, offsets, w.shape, w.dtype)
@@ -309,8 +321,7 @@ def conv3d(p: Params, x: jax.Array, stride: tuple[int, int, int] = (1, 1, 1),
             and w.shape[:3] == (3, 3, 3)
             and w.shape[3] <= _STEM_DW_MAX_CIN
             and (_stem_dw() in ("im2col", "tapdot")
-                 or (_stem_dw() == "auto"
-                     and _stem_tokens(x.shape) >= _TAPDOT_MIN_TOKENS))):
+                 or (_stem_dw() == "auto" and _stem_hw_ok(x.shape)))):
         y = _conv3d_stem(x, w)
     else:
         y = jax.lax.conv_general_dilated(

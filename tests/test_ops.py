@@ -726,11 +726,12 @@ def test_upsample_interleave_variants_agree(monkeypatch, variant, barrier):
 
 
 def test_stem_dw_auto_gates_3d_large_only(monkeypatch):
-    """Default "auto": tapdot engages ONLY for 3-D stems at/above the
-    token boundary (the measured-win class); 2-D stems and small 3-D
-    stems keep XLA's grad-conv (checked via lowered HLO as above)."""
+    """Default "auto": tapdot engages ONLY for 3-D stems whose spatial
+    map meets the boundary on BOTH axes (the measured-win class);
+    2-D stems and small-map 3-D stems keep XLA's grad-conv (checked
+    via lowered HLO as above)."""
     monkeypatch.delenv("DVDGAN_STEM_DW", raising=False)
-    monkeypatch.setattr(layers, "_TAPDOT_MIN_TOKENS", 2 * 8 * 8 * 8)
+    monkeypatch.setenv("DVDGAN_TAPDOT_MIN_HW", "8")
     rng = np.random.RandomState(13)
 
     def dw_hlo(conv, shape, k):
@@ -742,11 +743,15 @@ def test_stem_dw_auto_gates_3d_large_only(monkeypatch):
         return jax.jit(jax.grad(loss)).lower(p).as_text()
 
     # 3-D at the boundary: dot lowering (tapdot)
-    txt = dw_hlo(layers.conv3d, (2, 8, 8, 8, 3), (3, 3, 3))
+    txt = dw_hlo(layers.conv3d, (2, 4, 8, 8, 3), (3, 3, 3))
     assert " dot(" in txt or "dot_general" in txt
-    # 3-D below the boundary: plain grad-conv
-    txt = dw_hlo(layers.conv3d, (1, 4, 8, 8, 3), (3, 3, 3))
+    # 3-D below the boundary on one axis: plain grad-conv
+    txt = dw_hlo(layers.conv3d, (2, 4, 8, 4, 3), (3, 3, 3))
     assert " dot(" not in txt and "dot_general" not in txt
     # 2-D, ANY size: plain grad-conv under auto
     txt = dw_hlo(layers.conv2d, (16, 8, 8, 3), (3, 3))
+    assert " dot(" not in txt and "dot_general" not in txt
+    # default boundary (128) keeps the 64-sq 128px-preset DT stem out
+    monkeypatch.delenv("DVDGAN_TAPDOT_MIN_HW")
+    txt = dw_hlo(layers.conv3d, (2, 4, 64, 64, 3), (3, 3, 3))
     assert " dot(" not in txt and "dot_general" not in txt

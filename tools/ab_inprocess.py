@@ -49,7 +49,8 @@ TRACE_TIME_KNOBS = ("DVDGAN_DT_PREPOOL", "DVDGAN_TM_FAKES",
                     "DVDGAN_GRU_BLOCKED", "DVDGAN_ATTN_PALLAS",
                     "DVDGAN_STEM_DW", "DVDGAN_SPHASE_INTERLEAVE",
                     "DVDGAN_UPS_GRAD_BARRIER", "DVDGAN_REMAT_SAVE",
-                    "DVDGAN_GRU_BWD_MB", "DVDGAN_UPS_PALLAS")
+                    "DVDGAN_GRU_BWD_MB", "DVDGAN_UPS_PALLAS",
+                    "DVDGAN_TAPDOT_MIN_HW")
 
 DEFAULT_VARIANTS = [
     ("base", {}),
